@@ -1,0 +1,166 @@
+"""URL column functions: canonical doc_id, canonical URL, host, hash.
+
+Parity targets in the reference:
+- ``get_clean_filename`` (src/utils.py:38-60): domain + path with
+  '/'→'_', strip '_', empty→'home'; if the combined name exceeds 100
+  chars, fall back to ``f"{domain}_{md5(clean_path)[:10]}"``. This IS
+  the reference's document id (src/document_processor/processor.py:69),
+  so byte-exact parity is required.
+- ``get_domain_from_url`` (src/utils.py:26-36): ``urlparse(url).netloc``.
+
+The reference has no URL-seen set (a ``Set`` is imported at
+src/crawler/crawler.py:8 but never used); the engine defines a proper
+canonical URL for dedup (``canonicalize``): lowercase scheme+host, strip
+default port, drop fragment, collapse empty path to '/', strip trailing
+slash on non-root paths, keep the query string.
+
+All Spark-facing entry points are vectorized pandas UDFs (Arrow batches,
+no row-at-a-time Python UDFs). Parsing is a single vectorized
+``str.extract`` with the RFC 3986 appendix-B regex, which agrees with
+``urllib.parse.urlparse`` on absolute URLs; the md5 fallback only runs on
+the (rare) >100-char subset.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# RFC 3986 appendix B: scheme, authority, path, query, fragment
+_URL_RE = (
+    r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+)
+
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+# ---------------------------------------------------------------------------
+# scalar spec functions (used by docs/tests; the vectorized forms below are
+# what runs inside Spark)
+# ---------------------------------------------------------------------------
+
+def host_of(url: str) -> str:
+    """Scalar twin of ``get_domain_from_url`` (reference src/utils.py:26-36)."""
+    from urllib.parse import urlparse
+
+    return urlparse(url).netloc
+
+
+def clean_filename(url: str) -> str:
+    """Scalar twin of ``get_clean_filename`` (reference src/utils.py:38-60)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    domain = parsed.netloc
+    clean_path = parsed.path.replace("/", "_").strip("_")
+    if not clean_path:
+        clean_path = "home"
+    if len(f"{domain}_{clean_path}") > 100:
+        path_hash = hashlib.md5(clean_path.encode()).hexdigest()[:10]
+        return f"{domain}_{path_hash}"
+    return f"{domain}_{clean_path}"
+
+
+def canonicalize(url: str) -> str:
+    """Scalar twin of the engine's canonical-URL form (seen-set key)."""
+    from urllib.parse import urlparse
+
+    p = urlparse(url)
+    scheme = p.scheme.lower()
+    netloc = p.netloc.lower()
+    default = _DEFAULT_PORTS.get(scheme)
+    if default and netloc.endswith(default):
+        netloc = netloc[: -len(default)]
+    path = p.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    out = f"{scheme}://{netloc}{path}"
+    if p.query:
+        out += f"?{p.query}"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# vectorized (pandas Series in / out) implementations
+# ---------------------------------------------------------------------------
+
+def _parse_parts(urls: pd.Series) -> pd.DataFrame:
+    parts = urls.fillna("").str.extract(_URL_RE)
+    parts.columns = ["scheme", "netloc", "path", "query", "fragment"]
+    return parts
+
+
+def clean_filename_series(urls: pd.Series) -> pd.Series:
+    parts = _parse_parts(urls)
+    domain = parts["netloc"].fillna("")
+    clean_path = parts["path"].fillna("").str.replace("/", "_", regex=False).str.strip("_")
+    clean_path = clean_path.where(clean_path != "", "home")
+    name = domain + "_" + clean_path
+    too_long = name.str.len() > 100
+    if too_long.any():
+        hashed = clean_path[too_long].map(
+            lambda p: hashlib.md5(p.encode()).hexdigest()[:10]
+        )
+        name = name.where(~too_long, domain[too_long] + "_" + hashed)
+    return name
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    parts = _parse_parts(urls)
+    scheme = parts["scheme"].fillna("").str.lower()
+    netloc = parts["netloc"].fillna("").str.lower()
+    for sch, suffix in _DEFAULT_PORTS.items():
+        mask = (scheme == sch) & netloc.str.endswith(suffix)
+        if mask.any():
+            netloc = netloc.where(~mask, netloc.str[: -len(suffix)])
+    path = parts["path"].fillna("")
+    path = path.where(path != "", "/")
+    trailing = (path.str.len() > 1) & path.str.endswith("/")
+    if trailing.any():
+        stripped = path[trailing].str.rstrip("/")
+        stripped = stripped.where(stripped != "", "/")
+        path = path.where(~trailing, stripped)
+    out = scheme + "://" + netloc + path
+    query = parts["query"]
+    has_q = query.notna() & (query != "")
+    if has_q.any():
+        out = out.where(~has_q, out + "?" + query.fillna(""))
+    return out
+
+
+def host_series(urls: pd.Series) -> pd.Series:
+    return _parse_parts(urls)["netloc"].fillna("")
+
+
+# ---------------------------------------------------------------------------
+# Spark pandas UDFs + JVM-side expressions
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.StringType())
+def doc_id_udf(urls: pd.Series) -> pd.Series:
+    return clean_filename_series(urls)
+
+
+@F.pandas_udf(T.StringType())
+def url_canon_udf(urls: pd.Series) -> pd.Series:
+    return canonicalize_series(urls)
+
+
+@F.pandas_udf(T.StringType())
+def url_host_udf(urls: pd.Series) -> pd.Series:
+    return host_series(urls)
+
+
+def url_hash_col(url_canon: Column | str) -> Column:
+    """64-bit seen-set hash of the canonical URL.
+
+    JVM-side ``xxhash64`` (whole-stage-codegen'd) — no Python boundary.
+    The exact dedup join is on ``url_canon`` itself, so the hash only
+    feeds the bloom fast path and partitioning; collisions are harmless.
+    """
+    col = F.col(url_canon) if isinstance(url_canon, str) else url_canon
+    return F.xxhash64(col)

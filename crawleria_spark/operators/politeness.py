@@ -1,0 +1,113 @@
+"""Per-host politeness windows + concurrency caps.
+
+Generalizes the reference's fixed ``await asyncio.sleep(1)`` between
+consecutive fetches (src/crawler/crawler.py:169) into *logical* per-host
+slot assignment: within a fetch round, the i-th URL of a host gets
+``politeness_slot = i`` and would be fetched no earlier than
+``i * politeness_delay_s`` after the round starts. The correctness
+contract is the slot ORDER (per-host total order vs the oracle); wall
+clock sleeping is an opt-in fidelity knob in the fetch stage.
+
+The per-host concurrency cap realizes the reference's declared-but-unread
+``max_concurrent_pages`` (config/config.py:30): at most k URLs per host
+per round; overflow stays in the frontier for the next round.
+
+Scale note: ``Window.partitionBy(host)`` shuffles one host to one task —
+fine for the long tail, hot for a skewed hub host. ``salted_host_rank``
+provides the skew path: range-partition by (host, order keys) so a hot
+host spans several partitions, then recompose global per-host ranks from
+partition-local ranks + per-(partition, host) count offsets. Order is
+preserved because range partitioning guarantees all rows of partition p
+sort before partition p+1 within a host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def per_host_rank(
+    df: DataFrame, host_col: str, order_cols: list[str], col_name: str = "host_rank"
+) -> DataFrame:
+    """0-based rank within host by order_cols (plain window; tail path)."""
+    w = Window.partitionBy(host_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.withColumn(col_name, (F.row_number().over(w) - 1).cast("int"))
+
+
+def salted_host_rank(
+    df: DataFrame,
+    host_col: str,
+    order_cols: list[str],
+    col_name: str = "host_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based rank within host, skew-safe (no single-task hot host).
+
+    Two-pass: range-partition on (host, *order_cols); per-(pid, host)
+    counts → per-host running offsets (collected — bounded by
+    n_partitions × n_hosts_spanning_boundaries, tiny in practice);
+    partition-local row_number + offset.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(host_col)] + [F.col(c) for c in order_cols]
+    ranged = df.repartitionByRange(n, *keys).withColumn("__pid", F.spark_partition_id())
+    ranged = ranged.persist()
+    counts = (
+        ranged.groupBy("__pid", host_col).agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    per_host_acc: dict[str, int] = {}
+    for r in sorted(counts, key=lambda r: (r[host_col], r["__pid"])):
+        prior = per_host_acc.get(r[host_col], 0)
+        if prior > 0:  # only hosts spanning a partition boundary need an offset
+            offsets[(r["__pid"], r[host_col])] = prior
+        per_host_acc[r[host_col]] = prior + r["cnt"]
+    if offsets:
+        offset_expr = F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for (pid, host), off in offsets.items()
+                        for x in (F.concat_ws("|", F.lit(pid), F.lit(host)), F.lit(off))
+                    ]
+                ),
+                F.concat_ws("|", F.col("__pid"), F.col(host_col)),
+            ),
+            F.lit(0),
+        )
+    else:
+        offset_expr = F.lit(0)
+    w = Window.partitionBy("__pid", host_col).orderBy(*[F.col(c) for c in order_cols])
+    return ranged.withColumn(
+        col_name, (F.row_number().over(w) - 1 + offset_expr).cast("int")
+    ).drop("__pid")
+
+
+def assign_politeness_slots(
+    df: DataFrame,
+    host_col: str = "host",
+    order_cols: list[str] | None = None,
+    skew_safe: bool = False,
+) -> DataFrame:
+    """politeness_slot = 0-based per-host rank by (priority, url_canon)."""
+    order_cols = order_cols or ["priority", "url_canon"]
+    rank_fn = salted_host_rank if skew_safe else per_host_rank
+    return rank_fn(df, host_col, order_cols, col_name="politeness_slot")
+
+
+def apply_host_cap(
+    df: DataFrame,
+    cap: int,
+    host_col: str = "host",
+    order_cols: list[str] | None = None,
+    skew_safe: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Split into (within-cap rows, deferred overflow) per host."""
+    order_cols = order_cols or ["priority", "url_canon"]
+    rank_fn = salted_host_rank if skew_safe else per_host_rank
+    ranked = rank_fn(df, host_col, order_cols, col_name="__hrank").persist()
+    kept = ranked.filter(F.col("__hrank") < cap).drop("__hrank")
+    deferred = ranked.filter(F.col("__hrank") >= cap).drop("__hrank")
+    return kept, deferred

@@ -1,0 +1,522 @@
+"""CrawlEngine: the multi-round frontier/fetch scheduler as DataFrame jobs.
+
+One crawl round = ONE declarative DataFrame job implementing the round
+spec documented in crawleria_spark/oracle/crawler.py (the oracle is the
+independent record-at-a-time twin; pytest asserts equality of per-host
+fetch order, the URL-seen set, and per-row span sequences):
+
+    frontier dequeue
+      → dedup (left_anti vs seen, optional bloom pre-filter; then
+        min-priority per url_canon)
+      → robots gate (broadcast join, longest-prefix rule)
+      → per-host concurrency cap  → global page budget
+      → politeness slot + seq_in_host assignment
+      → mapInPandas fetch (vectorized; injectable fetcher; retries in-UDF)
+      → span documents append  → link discovery → priority ordinals
+      → frontier re-enqueue
+      → atomic snapshot commit (per-partition lineage metrics included)
+
+Reference parity notes: seed order IS crawl order
+(src/crawler/crawler.py:162); dedup/depth/budget/domain/robots realize
+the reference's declared-but-dead parameters (src/crawler/crawler.py:
+8,140,141,142; config/config.py:30-33); doc_id = get_clean_filename
+(src/utils.py:38-60); error rows never kill the run
+(src/crawler/crawler.py:129-135).
+
+Scale design (10^10-URL frontier on 1000 executors):
+- frontier/seen are hash-partitionable by url_canon; the dedup
+  anti-join is the only frontier-wide shuffle per round, and AQE
+  (skew-join on) re-plans it at runtime. A bloom pre-filter
+  (operators/bloom.py) drops the 95%+ already-seen candidates map-side
+  before the exact join.
+- no single-partition global windows anywhere: global ordinals and the
+  budget cut use range-partitioned two-pass ranking (operators/ordinal),
+  per-host politeness under skew uses salted_host_rank.
+- append tables (documents/fetch_log/metrics) commit O(delta) per round.
+- fetch parallelism: the round batch is repartitioned by host so
+  politeness is partition-local and connection reuse per host is
+  possible inside the Arrow batch.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawleria_spark.config import CrawlConfig
+from crawleria_spark.functions.urls import doc_id_udf, url_canon_udf, url_host_udf
+from crawleria_spark.operators.ordinal import global_limit_by, with_dense_ordinal
+from crawleria_spark.operators.politeness import (
+    apply_host_cap,
+    assign_politeness_slots,
+)
+from crawleria_spark.plans.snapshot import SnapshotCatalog
+from crawleria_spark.sources.fetch import SPAN_SCHEMA, fetch_stage
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("discovered_round", T.IntegerType()),
+        T.StructField("salt", T.IntegerType()),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("first_round", T.IntegerType()),
+    ]
+)
+
+FETCH_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("politeness_slot", T.IntegerType()),
+        T.StructField("seq_in_host", T.IntegerType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("url_canon", T.StringType()),
+        T.StructField("round", T.IntegerType()),
+        T.StructField("spans", SPAN_SCHEMA),
+    ]
+)
+
+HOST_SEQ_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("n_fetched", T.LongType()),
+    ]
+)
+
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("n_dequeued", T.LongType()),
+        T.StructField("n_deduped", T.LongType()),
+        T.StructField("n_fetched", T.LongType()),
+        T.StructField("n_errors", T.LongType()),
+        T.StructField("n_discovered", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+    ]
+)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: SnapshotCatalog,
+        config: CrawlConfig,
+        fetcher,
+        robots_rows: list[dict] | None = None,
+        skew_safe: bool = False,
+        use_bloom: bool = False,
+        simulate_wallclock: bool = False,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.config = config
+        self.fetcher = fetcher
+        self.skew_safe = skew_safe
+        self.use_bloom = use_bloom
+        self.simulate_wallclock = simulate_wallclock
+        if robots_rows is None:
+            robots_rows = []
+        self.robots = spark.createDataFrame(
+            [
+                (r["host"], r["path_prefix"], bool(r["allow"]))
+                for r in robots_rows
+            ]
+            or [("__none__", "/", True)],
+            schema="r_host string, path_prefix string, allow boolean",
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def _empty(self, schema: T.StructType) -> DataFrame:
+        return self.spark.createDataFrame([], schema)
+
+    def init(self, seeds: list[str]) -> None:
+        """Round -1 commit: seed frontier + empty state tables.
+
+        Seed-list order is crawl order (reference src/crawler/crawler.py:162):
+        priority = seed ordinal. Domain-filtered seeds do not consume
+        ordinals (oracle parity).
+        """
+        cfg = self.config
+        rows, next_priority = [], 0
+        from urllib.parse import urlparse
+
+        from crawleria_spark.functions.urls import canonicalize
+
+        for url in seeds:
+            host = urlparse(url).netloc.lower()
+            if not cfg.allowed(host):
+                continue
+            rows.append((url, canonicalize(url), host, 0, float(next_priority), -1, 0))
+            next_priority += 1
+        frontier = self.spark.createDataFrame(
+            rows,
+            schema="url string, url_canon string, host string, depth int, "
+            "priority double, discovered_round int, salt int",
+        ).withColumn("url_hash", F.xxhash64("url_canon")).select(
+            [f.name for f in FRONTIER_SCHEMA.fields]
+        )
+        self.catalog.commit(
+            replace={
+                "frontier": frontier,
+                "seen": self._empty(SEEN_SCHEMA),
+                "host_seq": self._empty(HOST_SEQ_SCHEMA),
+            },
+            append={
+                "documents": self._empty(DOCUMENTS_SCHEMA),
+                "fetch_log": self._empty(FETCH_LOG_SCHEMA),
+                "metrics": self._empty(METRICS_SCHEMA),
+            },
+            meta={"round": -1, "next_priority": next_priority, "fetched_total": 0},
+        )
+
+    # ----------------------------------------------------------------- round
+
+    def _domain_filter(self, df: DataFrame, host_col: str = "host") -> DataFrame:
+        domains = self.config.allowed_domains
+        if not domains:
+            return df
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                (F.col(host_col) == d) | F.col(host_col).endswith("." + d)
+                for d in domains
+            ],
+        )
+        return df.filter(cond)
+
+    def run_round(self) -> dict:
+        """Execute one crawl round against the latest snapshot; commit."""
+        t0 = time.time()
+        cfg = self.config
+        meta = self.catalog.latest_meta()
+        rnd = int(meta["round"]) + 1
+        next_priority = int(meta["next_priority"])
+        fetched_total = int(meta["fetched_total"])
+
+        pending = self.catalog.read("frontier")
+        seen = self.catalog.read("seen")
+
+        # 2. dedup: anti-join vs seen (+ optional bloom pre-filter), then
+        #    min-(priority, depth, url) per url_canon
+        if self.use_bloom and self.catalog.exists("seen_bloom"):
+            from crawleria_spark.operators.bloom import bloom_prefilter
+
+            pending = bloom_prefilter(
+                pending, self.catalog.read("seen_bloom"), seen
+            )
+        alive = pending.join(seen.select("url_canon"), "url_canon", "left_anti")
+        alive = alive.persist()
+        n_alive = alive.count()
+        w_dedup = Window.partitionBy("url_canon").orderBy("priority", "depth", "url")
+        best = (
+            alive.withColumn("__rn", F.row_number().over(w_dedup))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+        # 3. robots gate: broadcast longest-prefix match per url
+        path = F.regexp_extract("url_canon", r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1)
+        best = best.withColumn("__path", F.when(path == "", "/").otherwise(path))
+        if cfg.respect_robots_txt:
+            matches = best.join(
+                F.broadcast(self.robots),
+                (F.col("host") == F.col("r_host"))
+                & F.col("__path").startswith(F.col("path_prefix")),
+                "left",
+            )
+            w_rule = Window.partitionBy("url_canon").orderBy(
+                F.length("path_prefix").desc_nulls_last()
+            )
+            decided = (
+                matches.withColumn("__rr", F.row_number().over(w_rule))
+                .filter(F.col("__rr") == 1)
+                .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
+                .drop("__rr", "r_host", "path_prefix", "allow")
+            )
+        else:
+            decided = best.withColumn("__allow", F.lit(True))
+        decided = decided.persist()
+        denied = decided.filter(~F.col("__allow"))
+        fetchable = decided.filter(F.col("__allow")).drop("__allow", "__path")
+        n_best = decided.count()
+
+        # 4. per-host concurrency cap
+        kept, deferred_cap = apply_host_cap(
+            fetchable,
+            cfg.max_concurrent_per_host,
+            skew_safe=self.skew_safe,
+        )
+
+        # 5. global page budget
+        remaining = cfg.max_pages - fetched_total
+        kept = kept.persist()
+        n_kept = kept.count()
+        if n_kept > remaining:
+            to_fetch, deferred_budget = global_limit_by(
+                kept, ["priority", "url_canon"], remaining
+            )
+        else:
+            to_fetch, deferred_budget = kept, None
+        n_to_fetch = min(n_kept, max(remaining, 0))
+
+        denied_log = denied.select(
+            "url_canon",
+            "host",
+            F.lit(rnd).alias("round"),
+            F.lit(-1).alias("politeness_slot"),
+            F.lit(-1).alias("seq_in_host"),
+            F.lit("robots_denied").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        denied_seen = denied.select(
+            "url_canon", "url_hash", F.lit(rnd).alias("first_round")
+        )
+
+        if n_to_fetch == 0:
+            # nothing fetchable: commit robots denials, report; caller stops
+            new_frontier = deferred_cap
+            if deferred_budget is not None:
+                new_frontier = new_frontier.unionByName(deferred_budget)
+            self.catalog.commit(
+                replace={
+                    "frontier": new_frontier.select(
+                        [f.name for f in FRONTIER_SCHEMA.fields]
+                    ),
+                    "seen": seen.unionByName(denied_seen),
+                },
+                append={"fetch_log": denied_log},
+                meta={
+                    "round": rnd,
+                    "next_priority": next_priority,
+                    "fetched_total": fetched_total,
+                },
+            )
+            alive.unpersist()
+            decided.unpersist()
+            kept.unpersist()
+            return {"round": rnd, "n_fetched": 0, "n_pending": -1, "stopped": True}
+
+        # 6. politeness slots + cumulative per-host sequence
+        to_fetch = assign_politeness_slots(to_fetch, skew_safe=self.skew_safe)
+        host_seq = self.catalog.read("host_seq")
+        to_fetch = (
+            to_fetch.join(host_seq, "host", "left")
+            .withColumn(
+                "seq_in_host",
+                (F.coalesce(F.col("n_fetched"), F.lit(0)) + F.col("politeness_slot"))
+                .cast("int"),
+            )
+            .drop("n_fetched")
+        )
+
+        # 7. fetch — co-locate hosts so politeness/connection reuse is
+        #    partition-local, then vectorized fetch with in-UDF retries
+        to_fetch = to_fetch.repartition(cfg.frontier_partitions, "host")
+        fetched = fetch_stage(
+            to_fetch,
+            self.fetcher,
+            retry_attempts=cfg.retry_attempts,
+            backoff_min_s=cfg.retry_backoff_min_s,
+            backoff_max_s=cfg.retry_backoff_max_s,
+            simulate_wallclock=self.simulate_wallclock,
+            politeness_delay_s=cfg.politeness_delay_s,
+        ).persist()
+
+        # 8. documents append (doc_id from the RAW url, like the reference)
+        docs = fetched.filter(F.col("status") == "ok").select(
+            doc_id_udf(F.col("url")).alias("doc_id"),
+            "url_canon",
+            F.lit(rnd).alias("round"),
+            "spans",
+        )
+
+        fetch_log_new = fetched.select(
+            "url_canon",
+            "host",
+            F.lit(rnd).alias("round"),
+            "politeness_slot",
+            "seq_in_host",
+            "status",
+            "error",
+        ).unionByName(denied_log)
+
+        seen_new = fetched.select(
+            "url_canon", "url_hash", F.lit(rnd).alias("first_round")
+        ).unionByName(denied_seen)
+
+        host_seq_next = (
+            host_seq.unionByName(
+                fetched.groupBy("host").agg(F.count("*").cast("long").alias("n_fetched"))
+            )
+            .groupBy("host")
+            .agg(F.sum("n_fetched").cast("long").alias("n_fetched"))
+        )
+
+        # 9. discovery: ok pages under the depth bound, links in page order
+        parents = fetched.filter(
+            (F.col("status") == "ok") & (F.col("depth") < cfg.max_depth)
+        )
+        cand = parents.select(
+            F.col("priority").alias("parent_priority"),
+            (F.col("depth") + 1).alias("depth"),
+            F.posexplode("links").alias("link_offset", "url"),
+        )
+        cand = cand.withColumn("url_canon", url_canon_udf("url")).withColumn(
+            "host", F.lower(url_host_udf("url"))
+        )
+        cand = self._domain_filter(cand).persist()
+        n_cand = cand.count()
+        if n_cand > 0:
+            cand = with_dense_ordinal(
+                cand,
+                ["parent_priority", "link_offset"],
+                col_name="__ord",
+                start=next_priority,
+            )
+            new_rows = cand.select(
+                "url",
+                "url_canon",
+                F.xxhash64("url_canon").alias("url_hash"),
+                "host",
+                "depth",
+                F.col("__ord").cast("double").alias("priority"),
+                F.lit(rnd).alias("discovered_round"),
+                F.lit(0).alias("salt"),
+            )
+        else:
+            new_rows = self._empty(FRONTIER_SCHEMA)
+        next_priority += n_cand
+
+        new_frontier = deferred_cap.select([f.name for f in FRONTIER_SCHEMA.fields])
+        if deferred_budget is not None:
+            new_frontier = new_frontier.unionByName(
+                deferred_budget.select([f.name for f in FRONTIER_SCHEMA.fields])
+            )
+        new_frontier = new_frontier.unionByName(new_rows)
+
+        # per-partition lineage metrics (partition = hash bucket of host)
+        part_col = F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int")
+        n_err_agg = fetched.agg(
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("e"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        n_errors, n_fetch_rows = int(n_err_agg["e"] or 0), int(n_err_agg["n"])
+        wall_ms = int((time.time() - t0) * 1000)
+        part_metrics = fetched.groupBy(part_col.alias("partition")).agg(
+            F.count("*").cast("long").alias("n_dequeued"),
+            F.lit(0).cast("long").alias("n_deduped"),
+            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+            .cast("long")
+            .alias("n_fetched"),
+            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+            F.lit(0).cast("long").alias("n_discovered"),
+        ).select(
+            F.lit(rnd).alias("round"),
+            "partition",
+            "n_dequeued",
+            "n_deduped",
+            "n_fetched",
+            "n_errors",
+            "n_discovered",
+            F.lit(wall_ms).alias("wall_ms"),
+        )
+        global_metrics = self.spark.createDataFrame(
+            [
+                (
+                    rnd,
+                    -1,
+                    n_to_fetch,
+                    n_alive - n_best,
+                    n_fetch_rows - n_errors,
+                    n_errors,
+                    n_cand,
+                    wall_ms,
+                )
+            ],
+            schema=METRICS_SCHEMA,
+        )
+
+        fetched_total += n_fetch_rows
+        self.catalog.commit(
+            replace={
+                "frontier": new_frontier,
+                "seen": seen.unionByName(seen_new),
+                "host_seq": host_seq_next,
+            },
+            append={
+                "documents": docs,
+                "fetch_log": fetch_log_new,
+                "metrics": part_metrics.unionByName(global_metrics),
+            },
+            meta={
+                "round": rnd,
+                "next_priority": next_priority,
+                "fetched_total": fetched_total,
+            },
+        )
+        if self.use_bloom:
+            from crawleria_spark.operators.bloom import rebuild_bloom
+
+            rebuild_bloom(self.catalog, self.config)
+        n_pending = self.catalog.read("frontier").count()
+        for df in (alive, decided, kept, fetched, cand):
+            df.unpersist()
+        return {
+            "round": rnd,
+            "n_fetched": n_fetch_rows,
+            "n_discovered": n_cand,
+            "n_pending": n_pending,
+            "fetched_total": fetched_total,
+            "stopped": False,
+        }
+
+    # ----------------------------------------------------------------- crawl
+
+    def crawl(self, seeds: list[str] | None = None, max_rounds: int = 100) -> list[dict]:
+        """Run rounds until frontier empty / budget exhausted / max_rounds.
+
+        With ``seeds=None`` the engine RESUMES from the latest committed
+        snapshot (kill-resume semantics, SURVEY.md §4).
+        """
+        if seeds is not None:
+            self.init(seeds)
+        stats = []
+        for _ in range(max_rounds):
+            meta = self.catalog.latest_meta()
+            if int(meta["fetched_total"]) >= self.config.max_pages:
+                break
+            if self.catalog.read("frontier").isEmpty():
+                break
+            st = self.run_round()
+            stats.append(st)
+            if st["stopped"]:
+                break
+        return stats

@@ -1,0 +1,127 @@
+"""Snapshot catalog: atomic multi-table round commits over parquet.
+
+Iceberg-shaped semantics without the Iceberg runtime jar (offline
+sandbox): each commit writes new parquet directories for the tables that
+changed, then atomically renames a manifest JSON into place. The
+manifest pins every table to a concrete list of data directories, so
+readers see either the whole commit or none of it. Two table modes:
+
+- REPLACE (frontier, seen, host_seq): the commit's directory list is
+  `[new_dir]` — old state is superseded.
+- APPEND (documents, fetch_log, metrics): the new directory is appended
+  to the list, so a round commit costs O(round delta), never a rewrite
+  of the accumulated table — the property Iceberg appends give you, and
+  the one that matters at 10^10 URLs.
+
+Kill-resume = read the latest valid manifest (round number + crawl
+counters live in manifest meta). Swapping in real Iceberg = implement
+this same interface (`read`/`commit`/`latest_meta`) over
+``df.writeTo(...).append()`` with ``spark.jars.packages``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    MANIFEST_PREFIX = "_manifest_v"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"{self.MANIFEST_PREFIX}{version:06d}.json")
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[len(self.MANIFEST_PREFIX):-5])
+            for f in os.listdir(self.root)
+            if f.startswith(self.MANIFEST_PREFIX) and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        versions = self._versions()
+        return versions[-1] if versions else None
+
+    def _load_manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def latest_manifest(self) -> dict | None:
+        v = self.latest_version()
+        return self._load_manifest(v) if v is not None else None
+
+    def latest_meta(self) -> dict:
+        m = self.latest_manifest()
+        return (m or {}).get("meta", {})
+
+    # -- table IO -------------------------------------------------------------
+
+    def read(self, table: str) -> DataFrame:
+        m = self.latest_manifest()
+        if not m or table not in m["tables"]:
+            raise KeyError(f"table {table!r} not in catalog at {self.root}")
+        return self.spark.read.parquet(*m["tables"][table])
+
+    def exists(self, table: str) -> bool:
+        m = self.latest_manifest()
+        return bool(m) and table in m["tables"]
+
+    def _write_dir(self, name: str, df: DataFrame, version: int) -> str:
+        data_dir = os.path.join(self.root, name, f"v{version:06d}_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(data_dir)
+        return data_dir
+
+    def commit(
+        self,
+        replace: dict[str, DataFrame] | None = None,
+        append: dict[str, DataFrame] | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Write changed tables, carry the rest forward, publish atomically."""
+        prev = self.latest_manifest()
+        version = (prev["version"] + 1) if prev else 0
+        tables: dict[str, list[str]] = {
+            k: list(v) for k, v in (prev["tables"] if prev else {}).items()
+        }
+        for name, df in (replace or {}).items():
+            tables[name] = [self._write_dir(name, df, version)]
+        for name, df in (append or {}).items():
+            tables.setdefault(name, []).append(self._write_dir(name, df, version))
+        manifest = {"version": version, "tables": tables, "meta": meta or {}}
+        tmp = os.path.join(self.root, f".tmp_manifest_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._manifest_path(version))  # atomic publish
+        return version
+
+    def gc(self, keep_last: int = 2) -> None:
+        """Drop data dirs referenced only by manifests older than keep_last."""
+        versions = self._versions()
+        if not versions:
+            return
+        keep = set(versions[-keep_last:])
+        live: set[str] = set()
+        for v in keep:
+            for dirs in self._load_manifest(v)["tables"].values():
+                live.update(dirs)
+        for v in versions:
+            if v in keep:
+                continue
+            for dirs in self._load_manifest(v)["tables"].values():
+                for d in dirs:
+                    if d not in live and os.path.exists(d):
+                        shutil.rmtree(d, ignore_errors=True)
+            os.remove(self._manifest_path(v))

@@ -1,0 +1,125 @@
+"""Batch fetch stage: ``mapInPandas`` over a politeness-ordered fetch round.
+
+Plays the role of the reference's per-URL Firecrawl scrape
+(``crawl_url``, src/crawler/crawler.py:73-135) — but batched per Arrow
+record batch on executors, with the per-row retry policy of the
+reference's ``safe_request`` decorator (3 attempts, exponential backoff
+2-10 s; src/utils.py:110) applied *inside* the UDF so a failing URL
+yields an error row instead of a task failure (error-row tolerance,
+src/crawler/crawler.py:129-135).
+
+The fetcher is an injected callable ``url -> payload dict`` — the
+deterministic synthetic world in tests/bench, a real HTTP client in
+production. ``deterministic=True`` skips retries (a deterministic error
+fails identically every attempt).
+
+Output schema appends to the input columns:
+
+    status string, error string,
+    spans  array<struct<kind string, text string, media_ref string, offset int>>,
+    links  array<string>
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SPAN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("media_ref", T.StringType()),
+            T.StructField("offset", T.IntegerType()),
+        ]
+    )
+)
+
+FETCH_RESULT_FIELDS = [
+    T.StructField("status", T.StringType()),
+    T.StructField("error", T.StringType()),
+    T.StructField("spans", SPAN_SCHEMA),
+    T.StructField("links", T.ArrayType(T.StringType())),
+]
+
+
+def synthetic_fetcher(world_cfg) -> Callable[[str], dict]:
+    """url -> payload via the deterministic synthetic world."""
+    from crawleria_spark.synthetic.world import page_for_url
+
+    def fetch(url: str) -> dict:
+        return page_for_url(url, world_cfg)
+
+    fetch.deterministic = True
+    return fetch
+
+
+def fetch_stage(
+    df: DataFrame,
+    fetcher: Callable[[str], dict],
+    url_col: str = "url",
+    retry_attempts: int = 3,
+    backoff_min_s: float = 2.0,
+    backoff_max_s: float = 10.0,
+    simulate_wallclock: bool = False,
+    politeness_delay_s: float = 1.0,
+) -> DataFrame:
+    """Append fetch-result columns to ``df`` via mapInPandas.
+
+    When ``simulate_wallclock`` is set, each batch honors politeness
+    slots with real sleeps (slot spacing × delay); the default is
+    logical-order-only, which is what correctness compares.
+    """
+    out_schema = T.StructType(list(df.schema.fields) + FETCH_RESULT_FIELDS)
+    deterministic = getattr(fetcher, "deterministic", False)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            statuses, errors, spans_col, links_col = [], [], [], []
+            prev_slot_by_host: dict[str, int] = {}
+            for row in pdf.itertuples(index=False):
+                url = getattr(row, url_col)
+                if simulate_wallclock and "politeness_slot" in pdf.columns:
+                    host = getattr(row, "host", "")
+                    slot = int(getattr(row, "politeness_slot", 0))
+                    gap = slot - prev_slot_by_host.get(host, slot)
+                    if gap > 0:
+                        time.sleep(gap * politeness_delay_s)
+                    prev_slot_by_host[host] = slot
+                payload = None
+                last_err = None
+                attempts = 1 if deterministic else max(1, retry_attempts)
+                for attempt in range(attempts):
+                    try:
+                        payload = fetcher(url)
+                        if payload.get("status") == "error" and deterministic:
+                            break  # deterministic error: retrying is a no-op
+                        if payload.get("status") == "error":
+                            raise RuntimeError(payload.get("error") or "fetch error")
+                        break
+                    except Exception as e:  # error-row tolerance: never raise
+                        last_err = str(e)
+                        payload = None
+                        if attempt + 1 < attempts:
+                            delay = min(backoff_max_s, backoff_min_s * (2**attempt))
+                            if simulate_wallclock:
+                                time.sleep(delay)
+                if payload is None:
+                    payload = {"status": "error", "error": last_err, "spans": [], "links": []}
+                statuses.append(payload["status"])
+                errors.append(payload.get("error"))
+                spans_col.append(payload.get("spans") or [])
+                links_col.append(payload.get("links") or [])
+            out = pdf.copy()
+            out["status"] = pd.Series(statuses, dtype="object")
+            out["error"] = pd.Series(errors, dtype="object")
+            out["spans"] = pd.Series(spans_col, dtype="object")
+            out["links"] = pd.Series(links_col, dtype="object")
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
