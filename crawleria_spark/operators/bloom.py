@@ -1,0 +1,182 @@
+"""Partitioned bloom-filter URL-seen set (north-rule F4/J4 fast path).
+
+The exact dedup is a ``left_anti`` join of the frontier against the
+``seen`` table on ``url_canon`` — correct but it shuffles every pending
+URL every round. At 10^10 URLs the overwhelming majority of re-discovered
+links are already seen; a bloom filter answers "definitely NOT seen"
+map-side, so the exact join only carries the bloom-positive suspects:
+
+    alive = bloom_negative(pending)                  # certainly new
+          ∪ (bloom_positive(pending) ⟕̸ seen)        # exact confirm
+
+Zero false negatives (a bloom never misses an inserted key) ⇒ the
+result is IDENTICAL to the plain anti-join; false positives only cost
+a slightly larger confirm join. Property-tested in tests/test_bloom.py.
+
+Representation: one bloom per hash bucket ``pmod(url_hash, n_buckets)``
+stored as rows ``(partition int, bloom binary, n_items long)`` — the
+FIXTURES.md §4 shape. Blooms are OR-able, so each round builds a bloom
+over the round's delta only and merges byte-wise with the previous
+round's (O(delta) work, like every other append in the engine).
+
+All build/probe math is vectorized numpy over Arrow batches (no per-row
+Python): k indexes per key via double hashing
+``idx_i = (h + i * h2) mod m`` with h = xxhash64(url_canon) computed
+JVM-side and ``h2 = h * golden_gamma`` (splitmix64 constant).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("bloom", T.BinaryType()),
+        T.StructField("n_items", T.LongType()),
+    ]
+)
+
+
+def bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) sized for `capacity` keys at `fpp` FP rate."""
+    m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64  # whole 8-byte words
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, k
+
+
+def _indexes(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit indexes via double hashing; wrap-around uint64 math."""
+    with np.errstate(over="ignore"):
+        h1 = hashes.astype(np.uint64)
+        h2 = h1 * _GAMMA | np.uint64(1)  # odd → full-period stepping
+        steps = np.arange(k, dtype=np.uint64)
+        return ((h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(m)).astype(
+            np.int64
+        )
+
+
+def _set_bits(bits: np.ndarray, idx: np.ndarray) -> None:
+    np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+
+def _test_bits(bits: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """(n, k) indexes → (n,) bool: all k bits set."""
+    probed = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+    return probed.all(axis=1)
+
+
+def build_bloom(
+    df: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+    capacity_per_bucket: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Per-bucket blooms over a hash column: (partition, bloom, n_items)."""
+    m, k = bloom_params(capacity_per_bucket, fpp)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+        _set_bits(bits, _indexes(hashes, m, k))
+        return pd.DataFrame(
+            {
+                "partition": [int(pdf["__bucket"].iloc[0])],
+                "bloom": [bits.tobytes()],
+                "n_items": [len(pdf)],
+            }
+        )
+
+    bucketed = df.select(
+        F.col(hash_col), F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("__bucket")
+    )
+    return bucketed.groupBy("__bucket").applyInPandas(build, schema=BLOOM_SCHEMA)
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Byte-wise OR per partition (blooms must share m — same config)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc: np.ndarray | None = None
+        n = 0
+        for blob, items in zip(pdf["bloom"], pdf["n_items"]):
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+            n += int(items)
+        return pd.DataFrame(
+            {"partition": [int(pdf["partition"].iloc[0])], "bloom": [acc.tobytes()], "n_items": [n]}
+        )
+
+    return a.unionByName(b).groupBy("partition").applyInPandas(merge, schema=BLOOM_SCHEMA)
+
+
+def bloom_split(
+    pending: DataFrame,
+    bloom_df: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 32,
+    capacity_per_bucket: int = 1_000_000,
+    fpp: float = 0.01,
+) -> tuple[DataFrame, DataFrame]:
+    """(certainly-new rows, bloom-positive suspects).
+
+    The bloom blobs are collected and broadcast (bounded: n_buckets × m/8
+    bytes — e.g. 32 × 1.2 MB at 1M keys/bucket, 1% fpp), then probed in a
+    vectorized pandas UDF.
+    """
+    m, k = bloom_params(capacity_per_bucket, fpp)
+    blobs = {int(r["partition"]): r["bloom"] for r in bloom_df.collect()}
+    sc = pending.sparkSession.sparkContext
+    bc = sc.broadcast(blobs)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen(hashes: pd.Series) -> pd.Series:
+        h = hashes.to_numpy(dtype=np.int64)
+        buckets = np.mod(h, n_buckets)
+        out = np.zeros(len(h), dtype=bool)
+        for bucket in np.unique(buckets):
+            blob = bc.value.get(int(bucket))
+            if blob is None:
+                continue  # empty bucket → nothing seen there
+            bits = np.frombuffer(blob, dtype=np.uint8)
+            sel = buckets == bucket
+            out[sel] = _test_bits(bits, _indexes(h[sel], m, k))
+        return pd.Series(out)
+
+    flagged = pending.withColumn("__maybe_seen", maybe_seen(F.col(hash_col)))
+    flagged = flagged.persist()
+    certain_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    return certain_new, suspects
+
+
+def anti_join_seen(
+    pending: DataFrame,
+    seen: DataFrame,
+    bloom_df: DataFrame | None = None,
+    n_buckets: int = 32,
+    capacity_per_bucket: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """frontier LEFT ANTI JOIN seen, with optional bloom pre-filter.
+
+    With a bloom, the exact anti-join shuffle carries only the suspects;
+    the result set is identical (no false negatives) either way.
+    """
+    if bloom_df is None:
+        return pending.join(seen.select("url_canon"), "url_canon", "left_anti")
+    certain_new, suspects = bloom_split(
+        pending, bloom_df, "url_hash", n_buckets, capacity_per_bucket, fpp
+    )
+    confirmed = suspects.join(seen.select("url_canon"), "url_canon", "left_anti")
+    return certain_new.unionByName(confirmed)

@@ -224,13 +224,21 @@ class CrawlEngine:
 
         # 2. dedup: anti-join vs seen (+ optional bloom pre-filter), then
         #    min-(priority, depth, url) per url_canon
-        if self.use_bloom and self.catalog.exists("seen_bloom"):
-            from crawleria_spark.operators.bloom import bloom_prefilter
+        from crawleria_spark.operators.bloom import anti_join_seen
 
-            pending = bloom_prefilter(
-                pending, self.catalog.read("seen_bloom"), seen
-            )
-        alive = pending.join(seen.select("url_canon"), "url_canon", "left_anti")
+        bloom_df = (
+            self.catalog.read("seen_bloom")
+            if self.use_bloom and self.catalog.exists("seen_bloom")
+            else None
+        )
+        alive = anti_join_seen(
+            pending,
+            seen,
+            bloom_df,
+            n_buckets=cfg.frontier_partitions,
+            capacity_per_bucket=cfg.bloom_capacity_per_partition,
+            fpp=cfg.bloom_fpp,
+        )
         alive = alive.persist()
         n_alive = alive.count()
         w_dedup = Window.partitionBy("url_canon").orderBy("priority", "depth", "url")
@@ -465,12 +473,25 @@ class CrawlEngine:
         )
 
         fetched_total += n_fetch_rows
+        replace_tables = {
+            "frontier": new_frontier,
+            "seen": seen.unionByName(seen_new),
+            "host_seq": host_seq_next,
+        }
+        if self.use_bloom:
+            from crawleria_spark.operators.bloom import build_bloom, merge_blooms
+
+            delta_bloom = build_bloom(
+                seen_new.select("url_hash"),
+                n_buckets=cfg.frontier_partitions,
+                capacity_per_bucket=cfg.bloom_capacity_per_partition,
+                fpp=cfg.bloom_fpp,
+            )
+            replace_tables["seen_bloom"] = (
+                merge_blooms(bloom_df, delta_bloom) if bloom_df is not None else delta_bloom
+            )
         self.catalog.commit(
-            replace={
-                "frontier": new_frontier,
-                "seen": seen.unionByName(seen_new),
-                "host_seq": host_seq_next,
-            },
+            replace=replace_tables,
             append={
                 "documents": docs,
                 "fetch_log": fetch_log_new,
@@ -482,10 +503,6 @@ class CrawlEngine:
                 "fetched_total": fetched_total,
             },
         )
-        if self.use_bloom:
-            from crawleria_spark.operators.bloom import rebuild_bloom
-
-            rebuild_bloom(self.catalog, self.config)
         n_pending = self.catalog.read("frontier").count()
         for df in (alive, decided, kept, fetched, cand):
             df.unpersist()

@@ -1,0 +1,82 @@
+"""Bloom seen-set properties: zero false negatives, bounded FP rate,
+anti-join equivalence, and full engine parity with the bloom path on."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crawleria_spark.operators.bloom import (
+    _indexes,
+    _set_bits,
+    _test_bits,
+    anti_join_seen,
+    bloom_params,
+    build_bloom,
+    merge_blooms,
+)
+
+
+def test_bloom_numpy_no_false_negatives():
+    m, k = bloom_params(10_000, 0.01)
+    rng = np.random.default_rng(0)
+    keys = rng.integers(-(2**62), 2**62, size=10_000, dtype=np.int64)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    _set_bits(bits, _indexes(keys, m, k))
+    assert _test_bits(bits, _indexes(keys, m, k)).all()  # zero FN
+
+    probes = rng.integers(-(2**62), 2**62, size=50_000, dtype=np.int64)
+    probes = np.setdiff1d(probes, keys)
+    fp_rate = _test_bits(bits, _indexes(probes, m, k)).mean()
+    assert fp_rate < 0.05  # sized for 1%
+
+
+def test_anti_join_equivalence(spark):
+    """bloom-prefiltered anti-join returns the identical row set."""
+    n_seen, n_pending = 5_000, 8_000
+    seen = spark.range(n_seen).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url_canon")
+    ).withColumn("url_hash", F.xxhash64("url_canon"))
+    # pending overlaps seen on ~half its rows
+    pending = spark.range(n_pending).select(
+        F.concat(F.lit("https://h/"), (F.col("id") * 2)).alias("url_canon")
+    ).withColumn("url_hash", F.xxhash64("url_canon"))
+
+    bloom = build_bloom(seen.select("url_hash"), n_buckets=8, capacity_per_bucket=10_000)
+    exact = {r["url_canon"] for r in anti_join_seen(pending, seen).collect()}
+    fast = {
+        r["url_canon"]
+        for r in anti_join_seen(
+            pending, seen, bloom, n_buckets=8, capacity_per_bucket=10_000
+        ).collect()
+    }
+    assert fast == exact
+    assert 0 < len(exact) < n_pending
+
+
+def test_merge_blooms_is_or(spark):
+    a = spark.range(0, 1000).withColumn("url_hash", F.xxhash64("id"))
+    b = spark.range(1000, 2000).withColumn("url_hash", F.xxhash64("id"))
+    both = spark.range(0, 2000).withColumn("url_hash", F.xxhash64("id"))
+    kw = dict(n_buckets=4, capacity_per_bucket=5_000)
+    merged = merge_blooms(
+        build_bloom(a.select("url_hash"), **kw), build_bloom(b.select("url_hash"), **kw)
+    )
+    direct = build_bloom(both.select("url_hash"), **kw)
+    m = {r["partition"]: (bytes(r["bloom"]), r["n_items"]) for r in merged.collect()}
+    d = {r["partition"]: (bytes(r["bloom"]), r["n_items"]) for r in direct.collect()}
+    assert m == d
+
+
+def test_engine_parity_with_bloom(spark, tmp_catalog_root):
+    """Full oracle parity with use_bloom=True (identical seen set is the
+    north-rule invariant; the bloom must not change ANY output)."""
+    from tests.test_oracle_parity import CONFIG, SEEDS, WORLD, assert_parity, run_engine
+    from crawleria_spark.oracle.crawler import OracleCrawler
+
+    oracle = OracleCrawler(CONFIG, WORLD).crawl(SEEDS)
+    catalog = run_engine(spark, tmp_catalog_root, use_bloom=True)
+    assert_parity(catalog, oracle)
+    # the bloom table exists and covers the seen set
+    assert catalog.exists("seen_bloom")
+    n_items = catalog.read("seen_bloom").agg(F.sum("n_items")).collect()[0][0]
+    assert n_items == catalog.read("seen").count()

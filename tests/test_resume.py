@@ -1,0 +1,74 @@
+"""Kill/resume: a crawl interrupted after round r and resumed from the
+latest committed snapshot must produce the identical final state as an
+uninterrupted run (SURVEY.md §4 checkpoint/resume; north-rule
+"resumable mid-crawl")."""
+
+from crawleria_spark.config import CrawlConfig
+from crawleria_spark.plans.engine import CrawlEngine
+from crawleria_spark.plans.snapshot import SnapshotCatalog
+from crawleria_spark.sources.fetch import synthetic_fetcher
+from crawleria_spark.synthetic.world import WorldConfig, robots_rules, seed_urls
+
+WORLD = WorldConfig(seed=5, n_hosts=6, pages_per_host=25, mean_links=5)
+CONFIG = CrawlConfig(max_depth=2, max_pages=25, max_concurrent_per_host=3)
+SEEDS = seed_urls(WORLD, n=3)
+
+
+def _mk_engine(spark, root):
+    return CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, root),
+        CONFIG,
+        synthetic_fetcher(WORLD),
+        robots_rows=robots_rules(WORLD),
+    )
+
+
+def _final_state(catalog):
+    log = sorted(
+        (r["host"], r["seq_in_host"], r["url_canon"], r["round"], r["status"])
+        for r in catalog.read("fetch_log").collect()
+    )
+    seen = sorted(r["url_canon"] for r in catalog.read("seen").collect())
+    docs = sorted(
+        (r["doc_id"], tuple((s["kind"], s["offset"]) for s in r["spans"]))
+        for r in catalog.read("documents").collect()
+    )
+    return log, seen, docs, catalog.latest_meta()
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    # interrupted: init + 2 rounds, then a NEW engine resumes from disk
+    root_a = str(tmp_path / "interrupted")
+    eng = _mk_engine(spark, root_a)
+    eng.init(SEEDS)
+    eng.run_round()
+    eng.run_round()  # "crash" here — state lives only in committed snapshots
+    resumed = _mk_engine(spark, root_a)
+    resumed.crawl(seeds=None, max_rounds=20)
+
+    # uninterrupted
+    root_b = str(tmp_path / "full")
+    _mk_engine(spark, root_b).crawl(SEEDS, max_rounds=20)
+
+    state_a = _final_state(SnapshotCatalog(spark, root_a))
+    state_b = _final_state(SnapshotCatalog(spark, root_b))
+    assert state_a == state_b
+
+
+def test_round_commit_is_atomic(spark, tmp_path):
+    """Manifest versions advance one per round; every version is readable
+    (a reader never observes a partial commit)."""
+    root = str(tmp_path / "atomic")
+    eng = _mk_engine(spark, root)
+    eng.init(SEEDS)
+    eng.run_round()
+    eng.run_round()
+    cat = SnapshotCatalog(spark, root)
+    assert cat.latest_version() == 2  # init + 2 rounds
+    for v in range(3):
+        manifest = cat._load_manifest(v)
+        assert set(manifest["tables"]) >= {
+            "frontier", "seen", "documents", "fetch_log", "metrics", "host_seq",
+        }
+        assert "round" in manifest["meta"]
