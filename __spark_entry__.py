@@ -1,38 +1,703 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry re-expresses an operator from SURVEY.md §2 (or
+a training-data-pipeline op) over the driver's parquet tables; the
+matching ``oracle_sql()`` entry is the ANSI-SQL twin DuckDB runs on the
+same tables. Column names and rounding are aligned on both sides so the
+driver's order-insensitive value-hash matches.
+
+Entries without an oracle (minhash/simhash LSH, ANN probing, multimodal
+plumbing, the crawl round itself) are genuinely non-SQL-expressible —
+the driver records a rows-only check for those; their exactness is
+covered by `python -m pytest -x -q` (oracle-crawler parity, brute-vs-LSH
+agreement, property tests).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+_SEG_URL = (
+    "concat('https://', source, '.example.com/', "
+    "repeat('segment/', cast(doc_id % 20 as int)), "
+    "case when doc_id % 20 = 0 then '' else lang end)"
+)
+
+_SEG_URL_SQL = (
+    "'https://' || source || '.example.com/' || repeat('segment/', (doc_id % 20)::INT) "
+    "|| (CASE WHEN doc_id % 20 = 0 THEN '' ELSE lang END)"
+)
+
+_STOP_SQL = (
+    "'the','a','an','and','or','of','to','in','is','are','was','were','be',"
+    "'been','it','this','that','for','on','with','as','at','by','from','not',"
+    "'no','yes','we','you','they','he','she','i'"
+)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_topk_threshold_rank(spark, sf_dir):
+    """A6/A8/P6: threshold filter → top-k by score desc → rank=i+1."""
+    from crawleria_spark.operators.topk import threshold_topk
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "score", F.col("o_totalprice")
+    )
+    return threshold_topk(orders, "score", 150000.0, 5, ["o_orderkey"]).select(
+        "o_orderkey", "score", "rank"
+    )
+
+
+def q_grouped_topk(spark, sf_dir):
+    """per-group top-k (per-host best pages analogue)."""
+    from crawleria_spark.operators.topk import grouped_topk
+
+    orders = _t(spark, sf_dir, "orders")
+    return grouped_topk(
+        orders.withColumn("score", F.col("o_totalprice")),
+        ["o_orderpriority"],
+        "score",
+        3,
+        ["o_orderkey"],
+    ).select("o_orderpriority", "o_orderkey", "rank")
+
+
+def q_rerank_cap(spark, sf_dir):
+    """A7 rerank + A9 head-cap: top-10 by price, rerank by key, cap 4."""
+    from crawleria_spark.operators.topk import rerank
+
+    orders = _t(spark, sf_dir, "orders")
+    top10 = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(10)
+    )
+    return rerank(
+        top10, F.col("o_orderkey").cast("double"), k=4, tiebreak_cols=["o_orderkey"]
+    ).select("o_orderkey", "rerank_score")
+
+
+def q_group_by_kind(spark, sf_dir):
+    """A1: group spans by kind → counts (events.event_type analogue)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("kind"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_top5_sample_per_type(spark, sf_dir):
+    """A2: per-type top-5 sample."""
+    from crawleria_spark.operators.topk import grouped_topk
+
+    ev = _t(spark, sf_dir, "events").withColumn("score", F.col("value"))
+    return grouped_topk(ev, ["event_type"], "score", 5, ["event_id"]).select(
+        "event_type", "event_id", "rank"
+    )
+
+
+def q_batch_split(spark, sf_dir):
+    """A10: fixed-size batching (batch_size=10) via the scalable dense
+    ordinal (no single-partition window)."""
+    from crawleria_spark.operators.ordinal import with_dense_ordinal
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ranked = with_dense_ordinal(cust, ["c_custkey"], col_name="__ord")
+    return (
+        ranked.withColumn("batch", (F.col("__ord") / 10).cast("int"))
+        .groupBy("batch")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+    )
+
+
+def q_politeness_slots(spark, sf_dir):
+    """F2: per-host politeness window slots (events user_id as host)."""
+    from crawleria_spark.operators.politeness import per_host_rank
+
+    ev = _t(spark, sf_dir, "events")
+    return per_host_rank(
+        ev, "user_id", ["ts", "event_id"], col_name="politeness_slot"
+    ).select("user_id", "event_id", "politeness_slot")
+
+
+def q_host_cap(spark, sf_dir):
+    """F9: per-host concurrency cap (≤5 per host per round)."""
+    from crawleria_spark.operators.politeness import apply_host_cap
+
+    ev = _t(spark, sf_dir, "events")
+    kept, _ = apply_host_cap(ev, 5, host_col="user_id", order_cols=["ts", "event_id"])
+    return kept.select("user_id", "event_id")
+
+
+def q_dedup_anti_join(spark, sf_dir):
+    """F4/J4: frontier LEFT ANTI JOIN seen."""
+    orders = _t(spark, sf_dir, "orders")
+    seen = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    return orders.join(seen, "o_orderkey", "left_anti").select("o_orderkey")
+
+
+def q_round_dequeue(spark, sf_dir):
+    """The crawl round's dequeue pipeline in one DataFrame: within-batch
+    dedup → per-host cap → global budget (scalable ordinal) → politeness
+    slots. Events stand in for the frontier."""
+    from crawleria_spark.operators.ordinal import global_limit_by
+    from crawleria_spark.operators.politeness import apply_host_cap, per_host_rank
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "canon",
+        F.concat_ws(":", F.col("user_id"), F.col("event_type"), F.floor("value")),
+    )
+    w = Window.partitionBy("canon").orderBy("ts", "event_id")
+    best = ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    capped, _ = apply_host_cap(best, 5, host_col="user_id", order_cols=["ts", "event_id"])
+    taken, _ = global_limit_by(capped, ["ts", "event_id"], 100)
+    return per_host_rank(
+        taken, "user_id", ["ts", "event_id"], col_name="politeness_slot"
+    ).select("user_id", "event_id", "politeness_slot")
+
+
+def q_url_canonical_doc_id(spark, sf_dir):
+    """P2: reference get_clean_filename parity incl. the >100-char md5
+    branch (src/utils.py:38-60), over URLs derived from `documents`."""
+    from crawleria_spark.functions.urls import doc_id_udf
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", F.expr(_SEG_URL))
+    return docs.select(
+        F.col("doc_id").alias("in_id"), doc_id_udf("url").alias("url_doc_id")
+    )
+
+
+def q_host_extract(spark, sf_dir):
+    """P1: host extraction (JVM regexp — pushdown-friendly)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", F.expr(_SEG_URL))
+    return docs.select(
+        F.col("doc_id").alias("in_id"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+    )
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on a prefix fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.lower(F.trim("text")), " "), 1, 2)))
+    return (
+        docs.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def q_word_jaccard_pairs(spark, sf_dir):
+    """n-gram (word-level) Jaccard on adjacent-doc pairs — all JVM array
+    ops (array_distinct/intersect/union), no Python in the hot path."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("id_a"),
+        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("wa"),
+    )
+    b = docs.select(
+        (F.col("doc_id")).alias("id_b"),
+        F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("wb"),
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    jac = F.size(F.array_intersect("wa", "wb")) / F.size(F.array_union("wa", "wb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(jac.cast("double"), 6).alias("jaccard")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Text analysis: per-lang token/char statistics."""
+    from crawleria_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(token_count("text")), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring: composite prose heuristic per doc."""
+    from crawleria_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score("text"), 4).alias("quality")
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    """Document fingerprinting: md5 over normalized text."""
+    from crawleria_spark.functions.text import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID: stopword-marker heuristic (vectorized pandas UDF)."""
+    from crawleria_spark.functions.text import lang_id_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_udf("text").alias("pred_lang"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    """ANN baseline: exact brute-force cosine top-k vs query vec_id=0."""
+    from crawleria_spark.operators.ann import cosine_topk_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk_brute(emb, qv, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.35), exact brute verify."""
+    from crawleria_spark.operators.dedup import embedding_dup_pairs_brute
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    pairs = embedding_dup_pairs_brute(emb, threshold=0.35)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (map-side partial agg → one
+    shuffle on the group key; money summed as exact integer cents)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * 100)).cast("long").alias("base_cents"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            ).cast("long").alias("disc_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Broadcast-join star query: revenue per nation (small dims are
+    broadcast — no shuffle of the fact table beyond the final agg)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * 100)).cast("long").alias("revenue_cents"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-shaped tumbling-window rollup (batch twin of the
+    readStream pipeline in crawleria_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * 100)).cast("long").alias("value_cents"),
+        )
+    )
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """A3 counts-as-metrics: per-day event counts + error rate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---- rows-only entries (non-SQL-expressible; exactness covered in pytest) --
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (shingle→sig→band→bucket-join→
+    exact-Jaccard verify). Oracle: pytest brute-force agreement."""
+    from crawleria_spark.operators.dedup import minhash_lsh_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return minhash_lsh_dedup_pairs(
+        docs, n_hashes=64, bands=16, shingle_k=2, jaccard_threshold=0.4
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_dup_pairs(spark, sf_dir):
+    """SimHash banded near-dup (Hamming <= 12 on 64-bit signatures)."""
+    from crawleria_spark.operators.dedup import simhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_dedup_pairs(docs, max_hamming=12)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate cosine top-k via random-hyperplane bucket probing."""
+    from crawleria_spark.operators.ann import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk_lsh(emb, qv, k=10, n_planes=6, n_tables=8)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_media_pipeline(spark, sf_dir):
+    """Multimodal plumbing: binary column → decode → resize plan →
+    features (codec stubbed; schema/batch shape real)."""
+    from crawleria_spark.multimodal import decode_media, extract_features, resize_images
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "video")
+        .otherwise("audio")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    out = extract_features(resize_images(decode_media(media), max_width=1000), dim=8)
+    return out.select(
+        "media_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        "target_width",
+        "resized",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+def q_crawl_round(spark, sf_dir):
+    """One real engine crawl (3 rounds, synthetic world) returning the
+    fetch log — the north-rule pipeline end-to-end. Oracle: pytest
+    oracle-crawler parity."""
+    import tempfile
+
+    from crawleria_spark.config import CrawlConfig
+    from crawleria_spark.plans.engine import CrawlEngine
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+    from crawleria_spark.sources.fetch import synthetic_fetcher
+    from crawleria_spark.synthetic.world import WorldConfig, robots_rules, seed_urls
+
+    world = WorldConfig(seed=13, n_hosts=6, pages_per_host=20, mean_links=4)
+    cfg = CrawlConfig(max_depth=1, max_pages=15, max_concurrent_per_host=3)
+    root = tempfile.mkdtemp(prefix="crawl_entry_")
+    catalog = SnapshotCatalog(spark, root)
+    engine = CrawlEngine(
+        spark, catalog, cfg, synthetic_fetcher(world), robots_rows=robots_rules(world)
+    )
+    engine.crawl(seed_urls(world, n=2), max_rounds=5)
+    return catalog.read("fetch_log").select(
+        "url_canon", "host", "round", "politeness_slot", "seq_in_host", "status"
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the crawl round's dequeue pipeline (dedup → host cap →
+    budget → politeness slots) as one DataFrame job on sf0.001."""
+    return q_round_dequeue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_topk_threshold_rank": q_topk_threshold_rank,
+        "q_grouped_topk": q_grouped_topk,
+        "q_rerank_cap": q_rerank_cap,
+        "q_group_by_kind": q_group_by_kind,
+        "q_top5_sample_per_type": q_top5_sample_per_type,
+        "q_batch_split": q_batch_split,
+        "q_politeness_slots": q_politeness_slots,
+        "q_host_cap": q_host_cap,
+        "q_dedup_anti_join": q_dedup_anti_join,
+        "q_round_dequeue": q_round_dequeue,
+        "q_url_canonical_doc_id": q_url_canonical_doc_id,
+        "q_host_extract": q_host_extract,
+        "q_exact_dup_groups": q_exact_dup_groups,
+        "q_word_jaccard_pairs": q_word_jaccard_pairs,
+        "q_token_stats": q_token_stats,
+        "q_quality_scores": q_quality_scores,
+        "q_fingerprints": q_fingerprints,
+        "q_lang_id": q_lang_id,
+        "q_cosine_topk": q_cosine_topk,
+        "q_embedding_dup_pairs": q_embedding_dup_pairs,
+        "q_pricing_summary": q_pricing_summary,
+        "q_revenue_by_nation": q_revenue_by_nation,
+        "q_events_hourly": q_events_hourly,
+        "q_metrics_rollup": q_metrics_rollup,
+        # rows-only (non-SQL-expressible; pytest covers exactness)
+        "q_minhash_dup_pairs": q_minhash_dup_pairs,
+        "q_simhash_dup_pairs": q_simhash_dup_pairs,
+        "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_media_pipeline": q_media_pipeline,
+        "q_crawl_round": q_crawl_round,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_topk_threshold_rank": """
+            SELECT o_orderkey, score,
+                   row_number() OVER (ORDER BY score DESC, o_orderkey) AS rank
+            FROM (SELECT o_orderkey, o_totalprice AS score FROM orders
+                  WHERE o_totalprice >= 150000)
+            ORDER BY score DESC, o_orderkey LIMIT 5
+        """,
+        "q_grouped_topk": """
+            SELECT o_orderpriority, o_orderkey, rank FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rank
+              FROM orders) WHERE rank <= 3
+        """,
+        "q_rerank_cap": """
+            WITH top10 AS (SELECT * FROM orders
+                           ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+            SELECT o_orderkey, CAST(o_orderkey AS DOUBLE) AS rerank_score
+            FROM top10 ORDER BY rerank_score DESC, o_orderkey LIMIT 4
+        """,
+        "q_group_by_kind": """
+            SELECT event_type AS kind, count(*) AS n FROM events GROUP BY 1
+        """,
+        "q_top5_sample_per_type": """
+            SELECT event_type, event_id, rank FROM (
+              SELECT event_type, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value DESC, event_id) AS rank
+              FROM events) WHERE rank <= 5
+        """,
+        "q_batch_split": """
+            SELECT ((rn - 1) // 10)::INT AS batch, count(*) AS n_items,
+                   min(c_custkey) AS min_key, max(c_custkey) AS max_key
+            FROM (SELECT c_custkey,
+                         row_number() OVER (ORDER BY c_custkey) AS rn
+                  FROM customer)
+            GROUP BY 1
+        """,
+        "q_politeness_slots": """
+            SELECT user_id, event_id,
+                   (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    - 1)::INT AS politeness_slot
+            FROM events
+        """,
+        "q_host_cap": """
+            SELECT user_id, event_id FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn <= 5
+        """,
+        "q_dedup_anti_join": """
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 3 != 0
+        """,
+        "q_round_dequeue": """
+            WITH canonized AS (
+              SELECT *, user_id || ':' || event_type || ':' || floor(value)::VARCHAR AS canon
+              FROM events),
+            best AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY canon ORDER BY ts, event_id) AS rn
+                FROM canonized) WHERE rn = 1),
+            capped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS hr
+                FROM best) WHERE hr <= 5),
+            taken AS (
+              SELECT * FROM capped ORDER BY ts, event_id LIMIT 100)
+            SELECT user_id, event_id,
+                   (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    - 1)::INT AS politeness_slot
+            FROM taken
+        """,
+        "q_url_canonical_doc_id": f"""
+            WITH u AS (SELECT doc_id AS in_id, {_SEG_URL_SQL} AS url FROM documents),
+            parts AS (
+              SELECT in_id,
+                     regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+                     trim(replace(regexp_extract(url, '^[a-z]+://[^/]*(/.*)$', 1),
+                                  '/', '_'), '_') AS clean_path0
+              FROM u),
+            named AS (
+              SELECT in_id, domain,
+                     CASE WHEN clean_path0 = '' THEN 'home' ELSE clean_path0 END AS clean_path
+              FROM parts)
+            SELECT in_id,
+                   CASE WHEN length(domain || '_' || clean_path) > 100
+                        THEN domain || '_' || substr(md5(clean_path), 1, 10)
+                        ELSE domain || '_' || clean_path END AS url_doc_id
+            FROM named
+        """,
+        "q_host_extract": f"""
+            SELECT doc_id AS in_id,
+                   regexp_extract({_SEG_URL_SQL}, '^[a-z]+://([^/]+)', 1) AS host
+            FROM documents
+        """,
+        "q_exact_dup_groups": """
+            SELECT md5(array_to_string((string_split(lower(trim(text)), ' '))[1:2], ' '))
+                     AS fingerprint,
+                   count(*) AS n_dups, min(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "q_word_jaccard_pairs": """
+            WITH w AS (SELECT doc_id,
+                              list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS words
+                       FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_filter(a.words, x -> list_contains(b.words, x)))::DOUBLE
+                         / len(list_distinct(a.words || b.words)), 6) AS jaccard
+            FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 10 = 0
+        """,
+        "q_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END), 6)
+                     AS avg_tokens,
+                   round(avg(n_chars), 6) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_quality_scores": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE (length(text) - length(regexp_replace(text,
+                                 '[!-/:-@\\[-`{{-~]', '', 'g')))::DOUBLE / length(text)
+                          END AS punct_r,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            sw AS (
+              SELECT doc_id, n_tok, punct_r,
+                     CASE WHEN len(toks) <= 0 THEN 0.0
+                          ELSE len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE
+                               / len(toks) END AS sw_r
+              FROM base)
+            SELECT doc_id,
+                   round(0.4 * least(n_tok / 100.0, 1.0)
+                         + 0.3 * (1.0 - punct_r)
+                         + 0.3 * (CASE WHEN sw_r >= 0.1 AND sw_r <= 0.6
+                                       THEN 1.0 ELSE 0.0 END), 4) AS quality
+            FROM sw
+        """,
+        "q_fingerprints": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+            FROM documents
+        """,
+        "q_lang_id": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '[a-zà-ÿäöüß]+')) AS t
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS h_en,
+                len(list_filter(t, x -> x IN ('el','la','de','que','y','en','los','del','las','por'))) AS h_es,
+                len(list_filter(t, x -> x IN ('le','la','de','et','les','des','en','du','que','une'))) AS h_fr,
+                len(list_filter(t, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','im'))) AS h_de
+              FROM toks)
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                        WHEN h_en >= greatest(h_es, h_fr, h_de) THEN 'en'
+                        WHEN h_es >= greatest(h_fr, h_de) THEN 'es'
+                        WHEN h_fr >= h_de THEN 'fr'
+                        ELSE 'de' END AS pred_lang
+            FROM hits
+        """,
+        "q_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                              i -> (e.embedding::DOUBLE[])[i] * q.qv[i]))
+                     / (sqrt(list_sum(list_transform(e.embedding::DOUBLE[], x -> x * x)))
+                        * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS c
+              FROM embeddings e CROSS JOIN q)
+            SELECT vec_id, round(c, 6) AS cosine FROM scored
+            ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "q_embedding_dup_pairs": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id < 200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                  i -> a.e[i] * b.e[i]))
+                         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6)
+                     AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+                  / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.e, x -> x * x)))) >= 0.35
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity))::BIGINT AS sum_qty,
+                   round(sum(l_extendedprice * 100))::BIGINT AS base_cents,
+                   round(sum(l_extendedprice * (1 - l_discount) * 100))::BIGINT AS disc_cents,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice * 100))::BIGINT AS revenue_cents,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+                   event_type, count(*) AS n,
+                   round(sum(value * 100))::BIGINT AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "q_metrics_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n_events,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1
+        """,
+    }

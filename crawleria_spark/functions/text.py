@@ -1,0 +1,126 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All hot-path expressions are JVM-side built-ins (whole-stage codegen);
+only language-ID needs a vectorized pandas UDF (set intersections over a
+stopword table are cheaper in numpy/pandas than exploded joins at this
+fan-out). Each function is deliberately SQL-mirrorable so the DuckDB
+oracle can verify it (see __spark_entry__.py oracle_sql).
+
+Definitions (engine-authoritative, mirrored in oracle SQL):
+- token_count: size(split(trim(text), '\\s+')) — whitespace tokens
+- word-ish tokens (BPE-ish pre-tokenization): regexp count of
+  [A-Za-z0-9]+('[a-z]+)? runs
+- punct_ratio: punctuation chars / total chars
+- stopword_ratio: tokens ∈ STOPWORDS / tokens
+- quality_score: 0.4·len_norm + 0.3·(1-punct_ratio) + 0.3·stopword_band
+  (len_norm = least(n_tokens/100, 1); stopword_band = 1 when ratio in
+  [0.1, 0.6] — natural prose — else 0)
+- fingerprint: md5 of whitespace-normalized lowercase text (md5 exists
+  on both engines, so oracle-checkable; xxhash64 variant for JVM-only
+  speed)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not no yes we you they he she i"
+).split()
+
+_WORD_RE = r"[A-Za-z0-9]+(?:'[a-z]+)?"
+_PUNCT_RE = r"[!-/:-@\[-`{-~]"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(text: Column | str) -> Column:
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_token_count(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization count: alnum runs with optional 'suffix."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(_WORD_RE), 0))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, _PUNCT_RE, ""))
+    return F.when(F.length(t) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(t)
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    n_stop = F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(n_stop.cast("double") / n)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite prose-quality heuristic in [0, 1]."""
+    n_tok = token_count(text).cast("double")
+    len_norm = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_band = F.when((sw >= 0.1) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * len_norm + F.lit(0.3) * (F.lit(1.0) - punct_ratio(text)) + F.lit(0.3) * sw_band
+    )
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Document fingerprint: md5 over normalized text (oracle-mirrorable)."""
+    norm = F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))
+    return F.md5(norm)
+
+
+def fingerprint_xxhash(text: Column | str) -> Column:
+    """64-bit fast fingerprint (JVM xxhash64; engine-internal use)."""
+    norm = F.lower(F.trim(F.regexp_replace(_c(text), r"\s+", " ")))
+    return F.xxhash64(norm)
+
+
+# --------------------------------------------------------------------------
+# language ID: character-frequency + stopword heuristic (pandas UDF)
+# --------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "du", "que", "une"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Stopword-overlap language guess; 'und' (undetermined) when no
+    marker hits. Deterministic; vectorized over the Arrow batch."""
+    token_lists = texts.fillna("").str.lower().str.findall(r"[a-zà-ÿäöüß]+")
+
+    def guess(tokens: list[str]) -> str:
+        if not tokens:
+            return "und"
+        bag = set(tokens)
+        best_lang, best_hits = "und", 0
+        for lang, markers in _LANG_MARKERS.items():
+            hits = sum(1 for m in markers if m in bag)
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    return token_lists.map(guess)

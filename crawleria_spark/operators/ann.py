@@ -1,0 +1,104 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk_brute: exact top-k by cosine against a query vector —
+  JVM-side arithmetic (zip_with/aggregate, whole-stage codegen) +
+  TakeOrderedAndProject. The baseline and the oracle-checkable path.
+- cosine_topk_pandas: same semantics, scoring in one numpy matmul per
+  Arrow batch — wins for wide vectors / large batches where the
+  per-element JVM expression tree is slower than BLAS.
+- cosine_topk_lsh: scale path — random-hyperplane sign buckets
+  (multi-table), probe only the query's buckets, exact rerank inside.
+  At 10^9 vectors the probe touches ~n/2^planes per table instead of n.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crawleria_spark.operators.dedup import cosine_expr
+
+
+def _query_lit(query_vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk_brute(
+    df: DataFrame,
+    query_vec,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k: (id, cosine) ordered desc, deterministic tiebreak."""
+    scored = df.select(
+        F.col(id_col), cosine_expr(F.col(vec_col), _query_lit(query_vec)).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_topk_pandas(
+    df: DataFrame,
+    query_vec,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Same result as brute; scoring via one numpy matmul per batch."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    bc = df.sparkSession.sparkContext.broadcast(q)
+
+    @F.pandas_udf(T.DoubleType())
+    def score(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        sims = mat @ bc.value / (np.linalg.norm(mat, axis=1) * qn)
+        return pd.Series(sims)
+
+    scored = df.select(F.col(id_col), score(F.col(vec_col)).alias("cosine"))
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: probe only LSH buckets matching the query.
+
+    Recall grows with n_tables (independent chances) and shrinks with
+    n_planes (selectivity); rerank inside the probed set is exact.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = len(q)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    q_codes = {
+        int(t * (1 << n_planes) + (((planes[t] @ q) > 0) * weights).sum())
+        for t in range(n_tables)
+    }
+    bc = df.sparkSession.sparkContext.broadcast((planes, sorted(q_codes)))
+
+    @F.pandas_udf(T.BooleanType())
+    def in_query_bucket(vecs: pd.Series) -> pd.Series:
+        p, codes = bc.value
+        codeset = set(codes)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        signs = np.einsum("nd,tpd->ntp", mat, p) > 0
+        row_codes = (signs * weights[None, None, :]).sum(axis=2)  # (n, tables)
+        hit = np.zeros(len(mat), dtype=bool)
+        for t in range(row_codes.shape[1]):
+            hit |= np.isin(row_codes[:, t] + t * (1 << n_planes), list(codeset))
+        return pd.Series(hit)
+
+    probed = df.filter(in_query_bucket(F.col(vec_col)))
+    return cosine_topk_brute(probed, query_vec, k, vec_col, id_col)

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawleria_spark.config import CrawlConfig
-from crawleria_spark.functions.urls import doc_id_udf, url_canon_udf, url_host_udf
+from crawleria_spark.functions.urls import url_canon_udf, url_host_udf
 from crawleria_spark.operators.ordinal import global_limit_by, with_dense_ordinal
 from crawleria_spark.operators.politeness import (
     apply_host_cap,
@@ -212,6 +212,17 @@ class CrawlEngine:
 
     def run_round(self) -> dict:
         """Execute one crawl round against the latest snapshot; commit."""
+        import os
+
+        profile = os.environ.get("CRAWLERIA_PROFILE") == "1"
+        _last = [time.time()]
+
+        def _tick(label: str) -> None:
+            if profile:
+                now = time.time()
+                print(f"[round-profile] {label:30s} {now - _last[0]:6.2f}s", flush=True)
+                _last[0] = now
+
         t0 = time.time()
         cfg = self.config
         meta = self.catalog.latest_meta()
@@ -241,6 +252,7 @@ class CrawlEngine:
         )
         alive = alive.persist()
         n_alive = alive.count()
+        _tick("dedup anti-join + count")
         w_dedup = Window.partitionBy("url_canon").orderBy("priority", "depth", "url")
         best = (
             alive.withColumn("__rn", F.row_number().over(w_dedup))
@@ -273,6 +285,7 @@ class CrawlEngine:
         denied = decided.filter(~F.col("__allow"))
         fetchable = decided.filter(F.col("__allow")).drop("__allow", "__path")
         n_best = decided.count()
+        _tick("best+robots count")
 
         # 4. per-host concurrency cap
         kept, deferred_cap = apply_host_cap(
@@ -285,6 +298,7 @@ class CrawlEngine:
         remaining = cfg.max_pages - fetched_total
         kept = kept.persist()
         n_kept = kept.count()
+        _tick("host cap count")
         if n_kept > remaining:
             to_fetch, deferred_budget = global_limit_by(
                 kept, ["priority", "url_canon"], remaining
@@ -346,19 +360,26 @@ class CrawlEngine:
         # 7. fetch — co-locate hosts so politeness/connection reuse is
         #    partition-local, then vectorized fetch with in-UDF retries
         to_fetch = to_fetch.repartition(cfg.frontier_partitions, "host")
-        fetched = fetch_stage(
-            to_fetch,
-            self.fetcher,
-            retry_attempts=cfg.retry_attempts,
-            backoff_min_s=cfg.retry_backoff_min_s,
-            backoff_max_s=cfg.retry_backoff_max_s,
-            simulate_wallclock=self.simulate_wallclock,
-            politeness_delay_s=cfg.politeness_delay_s,
+        from crawleria_spark.sources.fetch import with_spans_column
+
+        fetched = with_spans_column(
+            fetch_stage(
+                to_fetch,
+                self.fetcher,
+                retry_attempts=cfg.retry_attempts,
+                backoff_min_s=cfg.retry_backoff_min_s,
+                backoff_max_s=cfg.retry_backoff_max_s,
+                simulate_wallclock=self.simulate_wallclock,
+                politeness_delay_s=cfg.politeness_delay_s,
+            )
         ).persist()
 
-        # 8. documents append (doc_id from the RAW url, like the reference)
+        # 8. documents append        _tick("fetch stage built (lazy)")
+
+        # 8. documents append (doc_id from the RAW url, like the reference;
+        #    computed inside the fetch UDF — no second Python pass here)
         docs = fetched.filter(F.col("status") == "ok").select(
-            doc_id_udf(F.col("url")).alias("doc_id"),
+            "doc_id",
             "url_canon",
             F.lit(rnd).alias("round"),
             "spans",
@@ -400,6 +421,7 @@ class CrawlEngine:
         )
         cand = self._domain_filter(cand).persist()
         n_cand = cand.count()
+        _tick("fetch + discovery count")
         if n_cand > 0:
             cand = with_dense_ordinal(
                 cand,
@@ -435,6 +457,7 @@ class CrawlEngine:
             F.count("*").alias("n"),
         ).collect()[0]
         n_errors, n_fetch_rows = int(n_err_agg["e"] or 0), int(n_err_agg["n"])
+        _tick("error agg")
         wall_ms = int((time.time() - t0) * 1000)
         part_metrics = fetched.groupBy(part_col.alias("partition")).agg(
             F.count("*").cast("long").alias("n_dequeued"),
@@ -473,6 +496,7 @@ class CrawlEngine:
         )
 
         fetched_total += n_fetch_rows
+        _tick("pre-commit")
         replace_tables = {
             "frontier": new_frontier,
             "seen": seen.unionByName(seen_new),
@@ -503,7 +527,9 @@ class CrawlEngine:
                 "fetched_total": fetched_total,
             },
         )
+        _tick("commit (all writes)")
         n_pending = self.catalog.read("frontier").count()
+        _tick("pending count")
         for df in (alive, decided, kept, fetched, cand):
             df.unpersist()
         return {

@@ -78,8 +78,13 @@ class SnapshotCatalog:
         return bool(m) and table in m["tables"]
 
     def _write_dir(self, name: str, df: DataFrame, version: int) -> str:
+        import time
+
         data_dir = os.path.join(self.root, name, f"v{version:06d}_{uuid.uuid4().hex[:8]}")
+        t0 = time.time()
         df.write.mode("overwrite").parquet(data_dir)
+        if os.environ.get("CRAWLERIA_PROFILE") == "1":
+            print(f"[commit-profile] write {name:12s} {time.time() - t0:6.2f}s", flush=True)
         return data_dir
 
     def commit(
@@ -94,10 +99,26 @@ class SnapshotCatalog:
         tables: dict[str, list[str]] = {
             k: list(v) for k, v in (prev["tables"] if prev else {}).items()
         }
-        for name, df in (replace or {}).items():
-            tables[name] = [self._write_dir(name, df, version)]
-        for name, df in (append or {}).items():
-            tables.setdefault(name, []).append(self._write_dir(name, df, version))
+        # Independent tables write concurrently — Spark schedules jobs from
+        # multiple driver threads onto the same executors (FIFO pool), so
+        # small writes overlap instead of paying N sequential job latencies.
+        # The manifest publish below stays strictly after ALL writes.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = [("replace", n, df) for n, df in (replace or {}).items()] + [
+            ("append", n, df) for n, df in (append or {}).items()
+        ]
+        if jobs:
+            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
+                futures = {
+                    (mode, name): pool.submit(self._write_dir, name, df, version)
+                    for mode, name, df in jobs
+                }
+            for (mode, name), fut in futures.items():
+                if mode == "replace":
+                    tables[name] = [fut.result()]
+                else:
+                    tables.setdefault(name, []).append(fut.result())
         manifest = {"version": version, "tables": tables, "meta": meta or {}}
         tmp = os.path.join(self.root, f".tmp_manifest_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:

@@ -27,6 +27,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SPAN_SCHEMA = T.ArrayType(
@@ -40,12 +41,31 @@ SPAN_SCHEMA = T.ArrayType(
     )
 )
 
+# The UDF emits spans as four FLAT parallel arrays — Arrow converts flat
+# string/int lists an order of magnitude faster than list<struct> built
+# from per-span Python dicts (measured: the dict path dominated the crawl
+# round). with_spans_column() zips them back into the input_hint shape
+# JVM-side (arrays_zip is codegen'd; the cast renames fields positionally).
 FETCH_RESULT_FIELDS = [
+    T.StructField("doc_id", T.StringType()),  # clean_filename(url) — computed
+    # here so the crawl needs ONE Python pass, not a second UDF at write time
     T.StructField("status", T.StringType()),
     T.StructField("error", T.StringType()),
-    T.StructField("spans", SPAN_SCHEMA),
+    T.StructField("span_kinds", T.ArrayType(T.StringType())),
+    T.StructField("span_texts", T.ArrayType(T.StringType())),
+    T.StructField("span_refs", T.ArrayType(T.StringType())),
+    T.StructField("span_offsets", T.ArrayType(T.IntegerType())),
     T.StructField("links", T.ArrayType(T.StringType())),
 ]
+
+
+def with_spans_column(df: DataFrame) -> DataFrame:
+    """Zip the flat span arrays into `spans array<struct<kind,text,
+    media_ref,offset>>` (JVM-side) and drop the flats."""
+    zipped = F.arrays_zip("span_kinds", "span_texts", "span_refs", "span_offsets")
+    return df.withColumn("spans", zipped.cast(SPAN_SCHEMA)).drop(
+        "span_kinds", "span_texts", "span_refs", "span_offsets"
+    )
 
 
 def synthetic_fetcher(world_cfg) -> Callable[[str], dict]:
@@ -80,7 +100,8 @@ def fetch_stage(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            statuses, errors, spans_col, links_col = [], [], [], []
+            statuses, errors, links_col = [], [], []
+            kinds_col, texts_col, refs_col, offs_col = [], [], [], []
             prev_slot_by_host: dict[str, int] = {}
             for row in pdf.itertuples(index=False):
                 url = getattr(row, url_col)
@@ -113,12 +134,22 @@ def fetch_stage(
                     payload = {"status": "error", "error": last_err, "spans": [], "links": []}
                 statuses.append(payload["status"])
                 errors.append(payload.get("error"))
-                spans_col.append(payload.get("spans") or [])
+                spans = payload.get("spans") or []
+                kinds_col.append([s["kind"] for s in spans])
+                texts_col.append([s["text"] for s in spans])
+                refs_col.append([s["media_ref"] for s in spans])
+                offs_col.append([s["offset"] for s in spans])
                 links_col.append(payload.get("links") or [])
+            from crawleria_spark.functions.urls import clean_filename_series
+
             out = pdf.copy()
+            out["doc_id"] = clean_filename_series(pdf[url_col])
             out["status"] = pd.Series(statuses, dtype="object")
             out["error"] = pd.Series(errors, dtype="object")
-            out["spans"] = pd.Series(spans_col, dtype="object")
+            out["span_kinds"] = pd.Series(kinds_col, dtype="object")
+            out["span_texts"] = pd.Series(texts_col, dtype="object")
+            out["span_refs"] = pd.Series(refs_col, dtype="object")
+            out["span_offsets"] = pd.Series(offs_col, dtype="object")
             out["links"] = pd.Series(links_col, dtype="object")
             yield out
 

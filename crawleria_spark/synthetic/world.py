@@ -22,6 +22,7 @@ doc_id fallback (reference src/utils.py:56-58).
 from __future__ import annotations
 
 import hashlib
+import math
 import random
 from dataclasses import dataclass
 
@@ -60,8 +61,16 @@ def _rng_for(cfg: WorldConfig, url: str) -> random.Random:
     return random.Random(int.from_bytes(digest[:8], "big"))
 
 
+_VOCAB_CYCLE = _VOCAB * 3  # slice room for the longest span
+
+
 def _words(rng: random.Random, lo: int, hi: int) -> str:
-    return " ".join(rng.choice(_VOCAB) for _ in range(rng.randint(lo, hi)))
+    # O(1) rng calls per span: length + start offset into the vocab cycle
+    # (the fetch stage runs this for every page — per-word rng.choice was
+    # the crawl-bench hotspot)
+    n = rng.randint(lo, hi)
+    start = rng.randrange(len(_VOCAB))
+    return " ".join(_VOCAB_CYCLE[start : start + n])
 
 
 def _link_target(cfg: WorldConfig, rng: random.Random, host: str) -> str:
@@ -120,7 +129,15 @@ def page_for_url(url: str, cfg: WorldConfig) -> dict:
     spans.append(
         {"kind": "heading", "text": _words(rng, 2, 6), "media_ref": None, "offset": 0}
     )
-    link_slots = set(rng.sample(range(1, n_spans), min(n_links, n_spans - 1)))
+    # deterministic pseudo-sample of link slots in O(n_links): stride walk
+    # over [1, n_spans) with an odd step (2 rng calls instead of sample())
+    n_link_slots = min(n_links, n_spans - 1)
+    slot_span = n_spans - 1
+    start = rng.randrange(slot_span) if slot_span else 0
+    step = rng.randrange(1, max(slot_span, 2))
+    while math.gcd(step, slot_span) != 1:  # affine bijection → n distinct slots
+        step += 1
+    link_slots = {1 + (start + t * step) % slot_span for t in range(n_link_slots)}
     for off in range(1, n_spans):
         if off in link_slots:
             target = _link_target(cfg, rng, host)

@@ -1,0 +1,86 @@
+"""Text-analysis functions: token counts, ratios, quality, lang-id,
+fingerprints — checked against straightforward Python equivalents."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from crawleria_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_md5,
+    lang_id_udf,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    word_token_count,
+)
+
+SAMPLES = [
+    "The quick brown fox jumps over the lazy dog",
+    "el perro y el gato en la casa de los vecinos",
+    "   ",
+    "",
+    "one-token",
+    "punct!!! heavy??? text... ;;; :::",
+    "a b c d e f g h i j " * 20,
+    "Der Hund und die Katze sind mit den Kindern im Haus",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "id long, text string")
+
+
+def test_token_count(spark):
+    rows = _df(spark).select("id", token_count("text").alias("n")).collect()
+    got = {r["id"]: r["n"] for r in rows}
+    want = {i: len(s.split()) for i, s in enumerate(SAMPLES)}
+    assert got == want
+
+
+def test_word_token_count(spark):
+    rows = _df(spark).select("id", word_token_count("text").alias("n")).collect()
+    pat = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?")
+    want = {i: len(pat.findall(s)) for i, s in enumerate(SAMPLES)}
+    assert {r["id"]: r["n"] for r in rows} == want
+
+
+def test_ratios_and_quality(spark):
+    rows = _df(spark).select(
+        "id",
+        punct_ratio("text").alias("p"),
+        stopword_ratio("text").alias("s"),
+        quality_score("text").alias("q"),
+    ).collect()
+    for r in rows:
+        s = SAMPLES[r["id"]]
+        if s.strip():
+            toks = s.lower().split()
+            want_s = sum(1 for t in toks if t in STOPWORDS) / len(toks)
+            assert abs(r["s"] - want_s) < 1e-9
+        assert 0.0 <= r["p"] <= 1.0
+        assert 0.0 <= r["q"] <= 1.0
+    # prose scores above punctuation soup
+    q = {r["id"]: r["q"] for r in rows}
+    assert q[0] > q[5]
+
+
+def test_lang_id(spark):
+    rows = _df(spark).select("id", lang_id_udf("text").alias("lang")).collect()
+    got = {r["id"]: r["lang"] for r in rows}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[7] == "de"
+    assert got[2] == "und" and got[3] == "und"
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "id long, text string",
+    )
+    rows = df.select("id", fingerprint_md5("text").alias("fp")).collect()
+    fp = {r["id"]: r["fp"] for r in rows}
+    assert fp[1] == fp[2]  # case + whitespace insensitive
+    assert fp[1] != fp[3]
