@@ -50,10 +50,6 @@ from pyspark.sql import types as T
 from crawleria_spark.config import CrawlConfig
 from crawleria_spark.functions.urls import url_canon_udf, url_host_udf
 from crawleria_spark.operators.ordinal import global_limit_by, with_dense_ordinal
-from crawleria_spark.operators.politeness import (
-    apply_host_cap,
-    assign_politeness_slots,
-)
 from crawleria_spark.plans.snapshot import SnapshotCatalog
 from crawleria_spark.sources.fetch import SPAN_SCHEMA, fetch_stage
 
@@ -131,6 +127,7 @@ class CrawlEngine:
         skew_safe: bool = False,
         use_bloom: bool = False,
         simulate_wallclock: bool = False,
+        collect_stats: bool = True,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -139,15 +136,17 @@ class CrawlEngine:
         self.skew_safe = skew_safe
         self.use_bloom = use_bloom
         self.simulate_wallclock = simulate_wallclock
-        if robots_rows is None:
-            robots_rows = []
-        self.robots = spark.createDataFrame(
-            [
-                (r["host"], r["path_prefix"], bool(r["allow"]))
-                for r in robots_rows
-            ]
-            or [("__none__", "/", True)],
-            schema="r_host string, path_prefix string, allow boolean",
+        # collect_stats=False skips the n_alive/n_best standalone counts
+        # (2 jobs/round) — per-partition lineage metrics stay; the global
+        # dedup counters read -1. For throughput-critical deployments.
+        self.collect_stats = collect_stats
+        self.robots = (
+            spark.createDataFrame(
+                [(r["host"], r["path_prefix"], bool(r["allow"])) for r in robots_rows],
+                schema="r_host string, path_prefix string, allow boolean",
+            )
+            if robots_rows
+            else None
         )
 
     # ------------------------------------------------------------------ init
@@ -251,7 +250,7 @@ class CrawlEngine:
             fpp=cfg.bloom_fpp,
         )
         alive = alive.persist()
-        n_alive = alive.count()
+        n_alive = alive.count() if self.collect_stats else -1
         _tick("dedup anti-join + count")
         w_dedup = Window.partitionBy("url_canon").orderBy("priority", "depth", "url")
         best = (
@@ -263,7 +262,7 @@ class CrawlEngine:
         # 3. robots gate: broadcast longest-prefix match per url
         path = F.regexp_extract("url_canon", r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1)
         best = best.withColumn("__path", F.when(path == "", "/").otherwise(path))
-        if cfg.respect_robots_txt:
+        if cfg.respect_robots_txt and self.robots is not None:
             matches = best.join(
                 F.broadcast(self.robots),
                 (F.col("host") == F.col("r_host"))
@@ -284,14 +283,24 @@ class CrawlEngine:
         decided = decided.persist()
         denied = decided.filter(~F.col("__allow"))
         fetchable = decided.filter(F.col("__allow")).drop("__allow", "__path")
-        n_best = decided.count()
+        n_best = decided.count() if self.collect_stats else -1
         _tick("best+robots count")
 
-        # 4. per-host concurrency cap
-        kept, deferred_cap = apply_host_cap(
-            fetchable,
-            cfg.max_concurrent_per_host,
-            skew_safe=self.skew_safe,
+        # 4+6 fused: ONE per-host rank serves both the concurrency cap and
+        # the politeness slot. Proof of equivalence: the later global budget
+        # keeps a global (priority, url_canon) prefix, which within each
+        # host is a prefix of its rank order, so kept rows' ranks are
+        # exactly 0..m-1 — identical to re-ranking after the cut. Saves a
+        # second salted-rank pass (2 shuffles + a driver collect) per round.
+        from crawleria_spark.operators.politeness import per_host_rank, salted_host_rank
+
+        rank_fn = salted_host_rank if self.skew_safe else per_host_rank
+        ranked = rank_fn(
+            fetchable, "host", ["priority", "url_canon"], col_name="politeness_slot"
+        ).persist()
+        kept = ranked.filter(F.col("politeness_slot") < cfg.max_concurrent_per_host)
+        deferred_cap = ranked.filter(
+            F.col("politeness_slot") >= cfg.max_concurrent_per_host
         )
 
         # 5. global page budget
@@ -344,8 +353,7 @@ class CrawlEngine:
             kept.unpersist()
             return {"round": rnd, "n_fetched": 0, "n_pending": -1, "stopped": True}
 
-        # 6. politeness slots + cumulative per-host sequence
-        to_fetch = assign_politeness_slots(to_fetch, skew_safe=self.skew_safe)
+        # 6. cumulative per-host sequence (politeness_slot already assigned)
         host_seq = self.catalog.read("host_seq")
         to_fetch = (
             to_fetch.join(host_seq, "host", "left")
@@ -357,9 +365,15 @@ class CrawlEngine:
             .drop("n_fetched")
         )
 
-        # 7. fetch — co-locate hosts so politeness/connection reuse is
-        #    partition-local, then vectorized fetch with in-UDF retries
-        to_fetch = to_fetch.repartition(cfg.frontier_partitions, "host")
+        # 7. fetch — partition by (host, salt). Politeness slots are already
+        #    assigned, so fetch needs no host-total-order; salting by slot
+        #    splits a hot host (hub domain = 30% of a round) across
+        #    skew_salt_buckets tasks instead of one critical-path task,
+        #    while small hosts still mostly co-locate for connection reuse.
+        to_fetch = to_fetch.withColumn(
+            "salt", F.pmod(F.col("politeness_slot"), F.lit(cfg.skew_salt_buckets)).cast("int")
+        )
+        to_fetch = to_fetch.repartition(cfg.frontier_partitions, "host", "salt")
         from crawleria_spark.sources.fetch import with_spans_column
 
         fetched = with_spans_column(
@@ -485,7 +499,7 @@ class CrawlEngine:
                     rnd,
                     -1,
                     n_to_fetch,
-                    n_alive - n_best,
+                    (n_alive - n_best) if self.collect_stats else -1,
                     n_fetch_rows - n_errors,
                     n_errors,
                     n_cand,

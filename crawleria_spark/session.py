@@ -38,7 +38,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing targets 64MB partitions — right for 1000-executor
+        # clusters with thousands of partitions, but on local[N] it
+        # shrinks our moderate shuffles below N tasks and caps
+        # parallelism (measured: +34% wall at 32 cores). Skew-join
+        # splitting stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,88 @@
+"""Physical-plan quality gates: the optimizations we rely on at 100 TB
+must actually appear in the executed plan — filter pushdown to parquet,
+broadcast joins for small dims, TakeOrderedAndProject for top-k (no
+global sort), and whole-stage codegen around hot expressions."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_threshold_pushdown_to_parquet(spark, entry):
+    df = entry.queries()["q_topk_threshold_rank"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThanOrEqual(o_totalprice" in plan
+
+
+def test_column_pruning(spark, entry):
+    df = entry.queries()["q_group_by_kind"](spark, SF_DIR)
+    plan = _plan(df)
+    # scan must read only event_type, not all 6 event columns
+    assert "ReadSchema: struct<event_type:string>" in plan
+
+
+def test_topk_is_take_ordered(spark, entry):
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    top = orders.orderBy(F.col("o_totalprice").desc()).limit(5)
+    assert "TakeOrderedAndProject" in _plan(top)  # no global sort
+
+
+def test_revenue_join_is_broadcast(spark, entry):
+    df = entry.queries()["q_revenue_by_nation"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_shape(spark, entry):
+    df = entry.queries()["q_dedup_anti_join"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+
+
+def test_text_metrics_stay_jvm_side(spark, entry):
+    """Quality scoring must be pure JVM expressions (higher-order array
+    lambdas fall out of codegen but never cross into Python) with the
+    scan pruned to the two needed columns."""
+    df = entry.queries()["q_quality_scores"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "EvalPython" not in plan  # no Python crossing at all
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_no_row_python_udfs_anywhere(spark, entry):
+    """Every Python crossing must be Arrow-vectorized (ArrowEvalPython /
+    mapInPandas FlatMapGroupsInPandas etc.), never BatchEvalPython."""
+    qs = entry.queries()
+    for name in ["q_url_canonical_doc_id", "q_lang_id", "q_cosine_topk", "q_minhash_dup_pairs"]:
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_media_enrichment_broadcasts(spark):
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.operators.topk import enrich_with_media
+
+    results = spark.range(100).select(
+        F.concat(F.lit("d"), "id").alias("doc_id"), F.rand(1).alias("score")
+    )
+    media = spark.createDataFrame([("d1", "m")], "doc_id string, media_ref string")
+    assert "BroadcastHashJoin" in _plan(enrich_with_media(results, media))

@@ -1,0 +1,75 @@
+"""Structured-Streaming pipeline: watermarked windowed rollups and the
+stateful host-sessionization operator, driven with availableNow triggers
+over file streams (batch parity asserted against the static twin)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawleria_spark.streaming import hourly_metrics_stream, sessionize_hosts_stream
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    src.write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_stream(df, tmp_path, mode="append"):
+    out_name = f"mem_{abs(hash(str(tmp_path))) % 10**8}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(out_name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return out_name
+
+
+def test_hourly_metrics_stream(spark, events_dir, tmp_path):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    rolled = hourly_metrics_stream(stream)
+    name = _run_stream(rolled, tmp_path)
+    got = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n"], r["value_cents"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    # batch twin
+    want_df = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value") * 100)).cast("long").alias("value_cents"),
+        )
+        .select(F.col("win.start").alias("ws"), "event_type", "n", "value_cents")
+    )
+    want = {
+        (r["ws"].isoformat(), r["event_type"]): (r["n"], r["value_cents"])
+        for r in want_df.collect()
+    }
+    # availableNow + watermark: windows older than the final watermark are
+    # emitted; the trailing window(s) may be withheld. Emitted ⊆ batch and
+    # the bulk of windows must be present.
+    assert got and set(got) <= set(want)
+    assert all(want[k] == v for k, v in got.items())
+    assert len(got) >= len(want) - 4
+
+
+def test_sessionize_hosts_stream(spark, events_dir, tmp_path):
+    schema = spark.read.parquet(events_dir).schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    sessions = sessionize_hosts_stream(stream, gap_minutes=30)
+    name = _run_stream(sessions, tmp_path)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # sessions only close via timeout; with a single availableNow batch the
+    # state may still be open — the operator must at least run clean and
+    # any emitted session must be well-formed
+    for r in rows:
+        assert r["session_fetches"] > 0
+        assert r["session_start"] <= r["session_end"]
