@@ -218,9 +218,25 @@ def main_scaling() -> None:
     contended (min-wall) run; all runs are kept in `detail.runs`.
     """
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    max_load = float(os.environ.get("SPARK_GRAFT_SCALE_MAX_LOAD", "4"))
+    max_wait_s = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_WAIT", "600"))
+
+    def wait_for_quiet() -> float:
+        """External tenants burst to loadavg >20 on this box; a 32-slot
+        run under that load measures the neighbors, not this engine.
+        Wait (bounded) for a quiet window; record the load we ran at."""
+        deadline = time.time() + max_wait_s
+        while time.time() < deadline:
+            load1 = os.getloadavg()[0]
+            if load1 < max_load:
+                return load1
+            time.sleep(15)
+        return os.getloadavg()[0]
+
     runs: dict[int, list[dict]] = {8: [], 32: []}
     for _ in range(repeats):
         for cores in (8, 32):
+            load_at_start = wait_for_quiet()
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores), "--for-scaling"],
@@ -229,8 +245,15 @@ def main_scaling() -> None:
                 env=env,
                 timeout=3000,
             )
-            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            runs[cores].append(json.loads(line))
+            json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+            if not json_lines:
+                raise RuntimeError(
+                    f"crawl-only subprocess (cores={cores}) produced no JSON; "
+                    f"rc={out.returncode}, stderr tail: {out.stderr[-800:]}"
+                )
+            rec = json.loads(json_lines[-1])
+            rec["load_at_start"] = round(load_at_start, 1)
+            runs[cores].append(rec)
     results = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
     t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
     eff = (t32 / t8) / 4

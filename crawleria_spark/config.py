@@ -58,9 +58,20 @@ class CrawlConfig:
     skew_salt_buckets: int = 8
     skew_hot_host_fraction: float = 0.10  # host >10% of round → salted
 
+    # per-host session config (reference S7: cookies file loaded into the
+    # crawler session, src/crawler/crawler.py:45-57). Broadcast with the
+    # config; a production fetcher reads cookies_for(host) per batch.
+    cookies: tuple[tuple[str, str], ...] = ()  # (host, cookie_header) pairs
+
     # run identity (tests pass a fixed value for determinism;
     # reference uses f"website_{int(time.time())}", src/main.py:199)
     run_id: str = "run_0"
+
+    def cookies_for(self, host: str) -> str | None:
+        for h, cookie in self.cookies:
+            if host == h or host.endswith("." + h):
+                return cookie
+        return None
 
     def allowed(self, host: str) -> bool:
         """Domain allow-check (reference `allowed_domains` param,

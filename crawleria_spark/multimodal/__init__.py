@@ -1,6 +1,7 @@
 from crawleria_spark.multimodal.media import (
     MEDIA_META_SCHEMA,
     decode_media,
+    encode_for_llm,
     extract_features,
     frame_sample,
     resize_images,
@@ -9,6 +10,7 @@ from crawleria_spark.multimodal.media import (
 __all__ = [
     "MEDIA_META_SCHEMA",
     "decode_media",
+    "encode_for_llm",
     "extract_features",
     "frame_sample",
     "resize_images",

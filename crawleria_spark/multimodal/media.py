@@ -159,6 +159,12 @@ def frame_sample(
     )
 
 
+def encode_for_llm(df: DataFrame, bytes_col: str = "content", cap: int = 4) -> DataFrame:
+    """Reference P5+A9 (generator.py:60-76,101-102): base64-encode media
+    payloads for LLM shipping, at most `cap` rows. Pure JVM `base64`."""
+    return df.limit(cap).withColumn("b64", F.base64(F.col(bytes_col)))
+
+
 def extract_features(
     df: DataFrame, bytes_col: str = "content", dim: int = 16
 ) -> DataFrame:

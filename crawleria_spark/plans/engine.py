@@ -252,11 +252,21 @@ class CrawlEngine:
         alive = alive.persist()
         n_alive = alive.count() if self.collect_stats else -1
         _tick("dedup anti-join + count")
-        w_dedup = Window.partitionBy("url_canon").orderBy("priority", "depth", "url")
+        # min-(priority, depth, url) per url_canon as a HASH AGGREGATE with
+        # map-side partial combine (min_by over a struct key) — far cheaper
+        # than a sort-window when dup ratios are high, and the shuffle key
+        # matches the anti-join's, so Catalyst reuses the exchange.
+        # Priorities are globally unique ordinals ⇒ no ties ⇒ deterministic.
+        cols = alive.columns
         best = (
-            alive.withColumn("__rn", F.row_number().over(w_dedup))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            alive.groupBy("url_canon")
+            .agg(
+                F.min_by(
+                    F.struct(*[F.col(c) for c in cols if c != "url_canon"]),
+                    F.struct("priority", "depth", "url"),
+                ).alias("__r")
+            )
+            .select("url_canon", "__r.*")
         )
 
         # 3. robots gate: broadcast longest-prefix match per url
@@ -365,15 +375,18 @@ class CrawlEngine:
             .drop("n_fetched")
         )
 
-        # 7. fetch — partition by (host, salt). Politeness slots are already
-        #    assigned, so fetch needs no host-total-order; salting by slot
-        #    splits a hot host (hub domain = 30% of a round) across
-        #    skew_salt_buckets tasks instead of one critical-path task,
-        #    while small hosts still mostly co-locate for connection reuse.
+        # 7. fetch — politeness slots are already assigned, so fetch needs
+        #    no host-total-order. Skew-safe mode: the salted rank left the
+        #    batch RANGE-partitioned on (host, priority, url_canon), which
+        #    already spreads a hot host across partitions while co-locating
+        #    small hosts — reuse it, no extra shuffle. Plain mode: hash
+        #    partitioning by host puts a hot host on one task, so salt by
+        #    politeness slot to split it across skew_salt_buckets tasks.
         to_fetch = to_fetch.withColumn(
             "salt", F.pmod(F.col("politeness_slot"), F.lit(cfg.skew_salt_buckets)).cast("int")
         )
-        to_fetch = to_fetch.repartition(cfg.frontier_partitions, "host", "salt")
+        if not self.skew_safe:
+            to_fetch = to_fetch.repartition(cfg.frontier_partitions, "host", "salt")
         from crawleria_spark.sources.fetch import with_spans_column
 
         fetched = with_spans_column(
@@ -554,6 +567,18 @@ class CrawlEngine:
             "fetched_total": fetched_total,
             "stopped": False,
         }
+
+    def capture_single_page(self, url: str) -> dict:
+        """Reference F10 (``capture_single_page``, src/crawler/crawler.py:
+        179-203): fetch ONE URL as a 1-row frontier round; returns the
+        fetch-log row plus the stored doc_id (artifacts live in the
+        documents table, not loose files)."""
+        self.crawl([url], max_rounds=1)
+        log = self.catalog.read("fetch_log").collect()
+        docs = {r["url_canon"]: r["doc_id"] for r in self.catalog.read("documents").collect()}
+        row = log[0].asDict() if log else {}
+        row["doc_id"] = docs.get(row.get("url_canon"))
+        return row
 
     # ----------------------------------------------------------------- crawl
 

@@ -69,3 +69,14 @@ def test_extract_features(spark):
 
     for r in rows:
         assert abs(np.linalg.norm(r["features"]) - 1.0) < 1e-5
+
+
+def test_encode_for_llm(spark):
+    import base64
+
+    from crawleria_spark.multimodal import encode_for_llm
+
+    out = encode_for_llm(_media_df(spark), cap=2).collect()
+    assert len(out) == 2  # A9 cap
+    for r in out:
+        assert base64.b64decode(r["b64"]) == bytes(r["content"])

@@ -72,3 +72,14 @@ def test_round_commit_is_atomic(spark, tmp_path):
             "frontier", "seen", "documents", "fetch_log", "metrics", "host_seq",
         }
         assert "round" in manifest["meta"]
+
+
+def test_capture_single_page(spark, tmp_path):
+    """F10: one-URL frontier round (reference capture_single_page,
+    src/crawler/crawler.py:179-203)."""
+    eng = _mk_engine(spark, str(tmp_path / "single"))
+    url = SEEDS[0]
+    row = eng.capture_single_page(url)
+    assert row["status"] == "ok"
+    assert row["politeness_slot"] == 0 and row["seq_in_host"] == 0
+    assert row["doc_id"] and row["doc_id"].startswith("h")

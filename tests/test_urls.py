@@ -103,3 +103,37 @@ def test_spark_udfs(spark):
         assert rows[u]["doc_id"] == clean_filename(u)
         assert rows[u]["url_canon"] == canonicalize(u)
         assert isinstance(rows[u]["url_hash"], int)
+
+
+# ---------------------------------------------------------------------------
+# property-based parity (hypothesis): vectorized == urllib twin on random URLs
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_scheme = st.sampled_from(["http", "https", "ftp"])
+_host = st.from_regex(r"[a-zA-Z0-9][a-zA-Z0-9.\-]{0,30}", fullmatch=True)
+_port = st.sampled_from(["", ":80", ":443", ":8080"])
+_pathseg = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789._~ü路-", min_size=0, max_size=12
+)
+_path = st.lists(_pathseg, min_size=0, max_size=12).map(lambda segs: "/".join(segs))
+_query = st.sampled_from(["", "?a=1", "?a=1&b=x", "?_=%20"])
+_frag = st.sampled_from(["", "#f", "#frag/with/slash"])
+
+
+@st.composite
+def urls(draw):
+    return (
+        f"{draw(_scheme)}://{draw(_host)}{draw(_port)}/{draw(_path)}"
+        f"{draw(_query)}{draw(_frag)}"
+    )
+
+
+@given(st.lists(urls(), min_size=1, max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_property_vectorized_matches_urllib(url_list):
+    s = pd.Series(url_list)
+    assert clean_filename_series(s).tolist() == [clean_filename(u) for u in url_list]
+    assert canonicalize_series(s).tolist() == [canonicalize(u) for u in url_list]
+    assert host_series(s).tolist() == [host_of(u) for u in url_list]
