@@ -180,13 +180,14 @@ class CrawlEngine:
         ).withColumn("url_hash", F.xxhash64("url_canon")).select(
             [f.name for f in FRONTIER_SCHEMA.fields]
         )
+        # seen/host_seq are APPEND tables (deltas per round, O(delta) IO —
+        # rewriting the cumulative seen set per round would be O(total) and
+        # unworkable at 10^10 URLs); host_seq is aggregated at read.
         self.catalog.commit(
-            replace={
-                "frontier": frontier,
+            replace={"frontier": frontier},
+            append={
                 "seen": self._empty(SEEN_SCHEMA),
                 "host_seq": self._empty(HOST_SEQ_SCHEMA),
-            },
-            append={
                 "documents": self._empty(DOCUMENTS_SCHEMA),
                 "fetch_log": self._empty(FETCH_LOG_SCHEMA),
                 "metrics": self._empty(METRICS_SCHEMA),
@@ -313,18 +314,26 @@ class CrawlEngine:
             F.col("politeness_slot") >= cfg.max_concurrent_per_host
         )
 
-        # 5. global page budget
+        # 5. global page budget. `kept` is a subset of the pending frontier,
+        # whose row count comes free from parquet footers — when even that
+        # upper bound fits the remaining budget, skip the exact count AND
+        # the budget cut entirely (the common non-final-round case).
         remaining = cfg.max_pages - fetched_total
         kept = kept.persist()
-        n_kept = kept.count()
-        _tick("host cap count")
-        if n_kept > remaining:
-            to_fetch, deferred_budget = global_limit_by(
-                kept, ["priority", "url_canon"], remaining
-            )
-        else:
+        pending_bound = pending.count()  # parquet metadata count — no scan
+        if pending_bound <= remaining:
             to_fetch, deferred_budget = kept, None
-        n_to_fetch = min(n_kept, max(remaining, 0))
+            n_to_fetch = -1 if pending_bound > 0 else 0  # resolved post-fetch
+        else:
+            n_kept = kept.count()
+            if n_kept > remaining:
+                to_fetch, deferred_budget = global_limit_by(
+                    kept, ["priority", "url_canon"], remaining
+                )
+            else:
+                to_fetch, deferred_budget = kept, None
+            n_to_fetch = min(n_kept, max(remaining, 0))
+        _tick("host cap count")
 
         denied_log = denied.select(
             "url_canon",
@@ -349,9 +358,8 @@ class CrawlEngine:
                     "frontier": new_frontier.select(
                         [f.name for f in FRONTIER_SCHEMA.fields]
                     ),
-                    "seen": seen.unionByName(denied_seen),
                 },
-                append={"fetch_log": denied_log},
+                append={"fetch_log": denied_log, "seen": denied_seen},
                 meta={
                     "round": rnd,
                     "next_priority": next_priority,
@@ -363,8 +371,13 @@ class CrawlEngine:
             kept.unpersist()
             return {"round": rnd, "n_fetched": 0, "n_pending": -1, "stopped": True}
 
-        # 6. cumulative per-host sequence (politeness_slot already assigned)
-        host_seq = self.catalog.read("host_seq")
+        # 6. cumulative per-host sequence (politeness_slot already assigned);
+        #    host_seq is an append table of per-round deltas → aggregate
+        host_seq = (
+            self.catalog.read("host_seq")
+            .groupBy("host")
+            .agg(F.sum("n_fetched").cast("long").alias("n_fetched"))
+        )
         to_fetch = (
             to_fetch.join(host_seq, "host", "left")
             .withColumn(
@@ -426,12 +439,8 @@ class CrawlEngine:
             "url_canon", "url_hash", F.lit(rnd).alias("first_round")
         ).unionByName(denied_seen)
 
-        host_seq_next = (
-            host_seq.unionByName(
-                fetched.groupBy("host").agg(F.count("*").cast("long").alias("n_fetched"))
-            )
-            .groupBy("host")
-            .agg(F.sum("n_fetched").cast("long").alias("n_fetched"))
+        host_seq_delta = fetched.groupBy("host").agg(
+            F.count("*").cast("long").alias("n_fetched")
         )
 
         # 9. discovery: ok pages under the depth bound, links in page order
@@ -477,58 +486,47 @@ class CrawlEngine:
             )
         new_frontier = new_frontier.unionByName(new_rows)
 
-        # per-partition lineage metrics (partition = hash bucket of host)
+        # per-partition lineage metrics (partition = hash bucket of host):
+        # ONE small collect supplies both the lineage rows and the global
+        # counters — this is also the action that materializes `fetched`.
         part_col = F.pmod(F.xxhash64("host"), F.lit(cfg.frontier_partitions)).cast("int")
-        n_err_agg = fetched.agg(
-            F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).alias("e"),
-            F.count("*").alias("n"),
-        ).collect()[0]
-        n_errors, n_fetch_rows = int(n_err_agg["e"] or 0), int(n_err_agg["n"])
+        part_rows = (
+            fetched.groupBy(part_col.alias("partition"))
+            .agg(
+                F.count("*").cast("long").alias("n_dequeued"),
+                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
+                .cast("long")
+                .alias("n_fetched"),
+                F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+                .cast("long")
+                .alias("n_errors"),
+            )
+            .collect()
+        )
+        n_fetch_rows = sum(r["n_dequeued"] for r in part_rows)
+        n_errors = sum(r["n_errors"] for r in part_rows)
         _tick("error agg")
         wall_ms = int((time.time() - t0) * 1000)
-        part_metrics = fetched.groupBy(part_col.alias("partition")).agg(
-            F.count("*").cast("long").alias("n_dequeued"),
-            F.lit(0).cast("long").alias("n_deduped"),
-            F.sum(F.when(F.col("status") == "ok", 1).otherwise(0))
-            .cast("long")
-            .alias("n_fetched"),
-            F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
-            .cast("long")
-            .alias("n_errors"),
-            F.lit(0).cast("long").alias("n_discovered"),
-        ).select(
-            F.lit(rnd).alias("round"),
-            "partition",
-            "n_dequeued",
-            "n_deduped",
-            "n_fetched",
-            "n_errors",
-            "n_discovered",
-            F.lit(wall_ms).alias("wall_ms"),
-        )
-        global_metrics = self.spark.createDataFrame(
-            [
-                (
-                    rnd,
-                    -1,
-                    n_to_fetch,
-                    (n_alive - n_best) if self.collect_stats else -1,
-                    n_fetch_rows - n_errors,
-                    n_errors,
-                    n_cand,
-                    wall_ms,
-                )
-            ],
-            schema=METRICS_SCHEMA,
-        )
+        metrics_rows = [
+            (rnd, r["partition"], r["n_dequeued"], 0, r["n_fetched"], r["n_errors"], 0, wall_ms)
+            for r in part_rows
+        ] + [
+            (
+                rnd,
+                -1,
+                n_fetch_rows,
+                (n_alive - n_best) if self.collect_stats else -1,
+                n_fetch_rows - n_errors,
+                n_errors,
+                n_cand,
+                wall_ms,
+            )
+        ]
+        metrics_df = self.spark.createDataFrame(metrics_rows, schema=METRICS_SCHEMA)
 
         fetched_total += n_fetch_rows
         _tick("pre-commit")
-        replace_tables = {
-            "frontier": new_frontier,
-            "seen": seen.unionByName(seen_new),
-            "host_seq": host_seq_next,
-        }
+        replace_tables = {"frontier": new_frontier}
         if self.use_bloom:
             from crawleria_spark.operators.bloom import build_bloom, merge_blooms
 
@@ -546,7 +544,9 @@ class CrawlEngine:
             append={
                 "documents": docs,
                 "fetch_log": fetch_log_new,
-                "metrics": part_metrics.unionByName(global_metrics),
+                "seen": seen_new,
+                "host_seq": host_seq_delta,
+                "metrics": metrics_df,
             },
             meta={
                 "round": rnd,
@@ -601,4 +601,8 @@ class CrawlEngine:
             stats.append(st)
             if st["stopped"]:
                 break
+            # bound file-listing growth of append tables on long crawls
+            for table in ("seen", "host_seq"):
+                if self.catalog.n_dirs(table) > 64:
+                    self.catalog.compact(table)
         return stats

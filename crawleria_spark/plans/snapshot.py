@@ -128,6 +128,16 @@ class SnapshotCatalog:
         os.rename(tmp, self._manifest_path(version))  # atomic publish
         return version
 
+    def n_dirs(self, table: str) -> int:
+        m = self.latest_manifest()
+        return len(m["tables"].get(table, [])) if m else 0
+
+    def compact(self, table: str, meta: dict | None = None) -> None:
+        """Rewrite an append table's accumulated directories into one
+        (bounds file-listing cost on long crawls); atomic like any commit."""
+        df = self.read(table)
+        self.commit(replace={table: df}, meta=meta or self.latest_meta())
+
     def gc(self, keep_last: int = 2) -> None:
         """Drop data dirs referenced only by manifests older than keep_last."""
         versions = self._versions()
