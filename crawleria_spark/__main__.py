@@ -1,0 +1,166 @@
+"""CLI — command-for-command twin of the reference's entry point
+(src/main.py:213-319): ``crawl`` / ``process`` / ``query`` / ``pipeline``.
+
+A reference user switches by replacing loose output files with a snapshot
+catalog directory (``--catalog``). The fetcher is injectable; this
+offline build ships the deterministic synthetic fetcher (``--world-seed``
+controls it) — a production deployment passes an HTTP fetcher callable to
+``CrawlEngine`` instead.
+
+    python -m crawleria_spark crawl https://hub.example.com/p/0 \
+        --depth 2 --max-pages 50 --catalog /tmp/crawl
+    python -m crawleria_spark process --media-dir shots/ --catalog /tmp/crawl
+    python -m crawleria_spark query "spark frontier fetch" --catalog /tmp/crawl
+    python -m crawleria_spark pipeline https://hub.example.com/p/0 --catalog /tmp/crawl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine(args, spark):
+    from crawleria_spark.config import CrawlConfig
+    from crawleria_spark.plans.engine import CrawlEngine
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+    from crawleria_spark.sources.fetch import synthetic_fetcher
+    from crawleria_spark.synthetic.world import WorldConfig, robots_rules
+
+    world = WorldConfig(seed=args.world_seed)
+    cfg = CrawlConfig(
+        max_depth=args.depth,
+        max_pages=args.max_pages,
+        allowed_domains=tuple(args.allowed_domains or ()),
+    )
+    catalog = SnapshotCatalog(spark, args.catalog)
+    engine = CrawlEngine(
+        spark,
+        catalog,
+        cfg,
+        synthetic_fetcher(world),
+        robots_rows=robots_rules(world),
+        use_bloom=True,
+        skew_safe=True,
+    )
+    return engine, catalog
+
+
+def cmd_crawl(args, spark) -> dict:
+    engine, catalog = _engine(args, spark)
+    resume = catalog.latest_version() is not None and args.resume
+    stats = engine.crawl(None if resume else [args.url], max_rounds=args.max_rounds)
+    log = catalog.read("fetch_log")
+    return {
+        "rounds": len(stats),
+        "fetched": log.filter("status in ('ok','error')").count(),
+        "documents": catalog.read("documents").count(),
+        "pending": catalog.read("frontier").count(),
+        "catalog": args.catalog,
+    }
+
+
+def cmd_process(args, spark) -> dict:
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+    from crawleria_spark.sources.binary import ingest_media_dir
+
+    catalog = SnapshotCatalog(spark, args.catalog)
+    return ingest_media_dir(
+        spark, args.media_dir, catalog, table=args.index_name, pattern=args.pattern
+    )
+
+
+def cmd_query(args, spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.config import CrawlConfig
+    from crawleria_spark.operators.retrieval import Retriever
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+
+    catalog = SnapshotCatalog(spark, args.catalog)
+    docs = catalog.read("documents").select(
+        "doc_id",
+        "url_canon",
+        F.concat_ws(
+            " ", F.transform(F.col("spans"), lambda s: s["text"])
+        ).alias("text"),
+    )
+    cfg = CrawlConfig(top_k=args.top_k, similarity_threshold=args.threshold)
+    retriever = Retriever(docs, config=cfg)
+    results = retriever.retrieve(query_text=args.text)
+    ctx = retriever.format_for_llm(
+        results, catalog.read("documents").select("doc_id", "spans")
+    )
+    # the LLM synthesis stage stays out of engine scope (SURVEY.md §3.3):
+    # `ctx` is the driver-side context dict the reference hands its model
+    return {
+        "query": args.text,
+        "results": [
+            {k: r[k] for k in ("doc_id", "score", "rank")} for r in ctx["results"]
+        ],
+        "element_summary": {
+            k: v["count"] for k, v in ctx["element_summary"].items()
+        },
+    }
+
+
+def cmd_pipeline(args, spark) -> dict:
+    out = {"crawl": cmd_crawl(args, spark)}
+    if args.media_dir:
+        out["process"] = cmd_process(args, spark)
+    if args.text:
+        out["query"] = cmd_query(args, spark)
+    return out
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="crawleria_spark")
+    p.add_argument("--catalog", default="/tmp/crawleria_catalog")
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--world-seed", type=int, default=42)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl")
+    c.add_argument("url")
+    c.add_argument("--depth", type=int, default=3)
+    c.add_argument("--max-pages", type=int, default=50)
+    c.add_argument("--max-rounds", type=int, default=100)
+    c.add_argument("--allowed-domains", nargs="*")
+    c.add_argument("--resume", action="store_true")
+
+    pr = sub.add_parser("process")
+    pr.add_argument("--media-dir", required=True)
+    pr.add_argument("--index-name", default="media_index")
+    pr.add_argument("--pattern", default="*.png")
+
+    q = sub.add_parser("query")
+    q.add_argument("text")
+    q.add_argument("--top-k", type=int, default=5)
+    q.add_argument("--threshold", type=float, default=0.05)
+
+    pl = sub.add_parser("pipeline")
+    pl.add_argument("url")
+    pl.add_argument("--depth", type=int, default=2)
+    pl.add_argument("--max-pages", type=int, default=30)
+    pl.add_argument("--max-rounds", type=int, default=20)
+    pl.add_argument("--allowed-domains", nargs="*")
+    pl.add_argument("--resume", action="store_true")
+    pl.add_argument("--media-dir")
+    pl.add_argument("--text")
+    pl.add_argument("--top-k", type=int, default=5)
+    pl.add_argument("--threshold", type=float, default=0.05)
+    pl.add_argument("--index-name", default="media_index")
+    pl.add_argument("--pattern", default="*.png")
+
+    args = p.parse_args(argv)
+    from crawleria_spark.session import get_spark
+
+    spark = get_spark("crawleria_cli", cores=args.cores)
+    result = {"crawl": cmd_crawl, "process": cmd_process, "query": cmd_query, "pipeline": cmd_pipeline}[args.cmd](args, spark)
+    print(json.dumps(result, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,46 @@
+"""CLI parity with the reference entry point (src/main.py:213-319):
+crawl / process / query / pipeline subcommands."""
+
+import json
+
+from crawleria_spark.__main__ import main
+
+
+def test_cli_crawl_then_query(spark, tmp_path, capsys):
+    cat = str(tmp_path / "cli_cat")
+    rc = main(
+        ["--catalog", cat, "crawl", "https://hub.example.com/p/0",
+         "--depth", "1", "--max-pages", "12", "--max-rounds", "5"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["fetched"] <= 12 and out["documents"] > 0
+
+    rc = main(["--catalog", cat, "query", "spark frontier fetch queue",
+               "--threshold", "0.01"])
+    assert rc == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["results"] and q["results"][0]["rank"] == 1
+    assert q["element_summary"]
+
+
+def test_cli_resume(spark, tmp_path, capsys):
+    cat = str(tmp_path / "cli_resume")
+    main(["--catalog", cat, "crawl", "https://hub.example.com/p/0",
+          "--depth", "2", "--max-pages", "30", "--max-rounds", "1"])
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    main(["--catalog", cat, "crawl", "https://hub.example.com/p/0",
+          "--depth", "2", "--max-pages", "30", "--max-rounds", "3", "--resume"])
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["fetched"] > first["fetched"]
+
+
+def test_cli_process(spark, tmp_path, capsys):
+    d = tmp_path / "shots"
+    d.mkdir()
+    for i in range(3):
+        (d / f"s{i}.png").write_bytes(b"IMG" * 99)
+    rc = main(["--catalog", str(tmp_path / "c"), "process", "--media-dir", str(d)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["indexed"] == 3 and out["quarantined"] == 0
