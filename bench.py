@@ -8,8 +8,10 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32).
 
 `python bench.py --scaling` additionally runs the crawl-round job at
-local[8] and local[32] in subprocesses (the sandbox proxy for N vs 4N
-executors, per BASELINE.md) and writes BENCH/BASELINE.md.
+two parallelism levels (default local[4] vs local[16]; env
+SPARK_GRAFT_SCALE_LEVELS) in subprocesses — the sandbox proxy for N vs
+4N executors, per BASELINE.md — load-gated and interleaved, appending
+the raw JSON to BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -45,7 +47,7 @@ HEADLINE = [
 ]
 
 N_FRONTIER = int(os.environ.get("SPARK_GRAFT_BENCH_N", "120000"))
-SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4000000"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2000000"))
 SEEN_FRAC = 0.5       # fraction of frontier already seen (dedup load)
 N_HOSTS = 400
 # Scaling methodology: the JOB SHAPE stays fixed (same partition counts,
@@ -123,7 +125,7 @@ def build_crawl_state(spark, catalog, cfg, n_frontier=None):
             "fetch_log": empty(FETCH_LOG_SCHEMA),
             "metrics": empty(METRICS_SCHEMA),
         },
-        meta={"round": -1, "next_priority": N_FRONTIER, "fetched_total": 0},
+        meta={"round": -1, "next_priority": n_frontier, "fetched_total": 0},
     )
 
 
@@ -211,12 +213,10 @@ def crawl_only(cores: int, scaling: bool = False) -> dict:
 
 
 def main_scaling() -> None:
-    """N vs 4N evidence: same crawl-round job at local[8] and local[32].
-
-    This box hosts other tenants with bursty load, so runs are
-    INTERLEAVED (8,32,8,32,...) and each level reports its least-
-    contended (min-wall) run; all runs are kept in `detail.runs`.
-    """
+    """N vs 4N evidence: the same crawl-round job at two parallelism
+    levels. This box hosts other tenants with bursty load, so runs are
+    load-gated and INTERLEAVED; each level reports its least-contended
+    (min-wall) run; all runs are kept in `detail.runs`."""
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
     max_load = float(os.environ.get("SPARK_GRAFT_SCALE_MAX_LOAD", "4"))
     max_wait_s = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_WAIT", "600"))
@@ -233,9 +233,12 @@ def main_scaling() -> None:
             time.sleep(15)
         return os.getloadavg()[0]
 
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    levels = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
+    )
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(repeats):
-        for cores in (8, 32):
+        for cores in levels:
             load_at_start = wait_for_quiet()
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
             out = subprocess.run(
@@ -255,79 +258,23 @@ def main_scaling() -> None:
             rec["load_at_start"] = round(load_at_start, 1)
             runs[cores].append(rec)
     results = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
-    t8, t32 = results[8]["urls_per_sec"], results[32]["urls_per_sec"]
-    eff = (t32 / t8) / 4
+    lo, hi = levels[0], levels[-1]
+    t_lo, t_hi = results[lo]["urls_per_sec"], results[hi]["urls_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
     report = {
-        "throughput_local8_urls_per_sec": t8,
-        "throughput_local32_urls_per_sec": t32,
-        "scaling_efficiency_8_to_32": round(eff, 3),
-        "detail": {8: results[8], 32: results[32], "runs": runs},
+        f"throughput_local{lo}_urls_per_sec": t_lo,
+        f"throughput_local{hi}_urls_per_sec": t_hi,
+        f"scaling_efficiency_{lo}_to_{hi}": round(eff, 3),
+        "detail": {"results": results, "runs": runs},
     }
     print(json.dumps(report))
-    _write_bench_md(report)
-
-
-def _write_bench_md(report: dict) -> None:
+    # BENCH/BASELINE.md is the curated evidence document (protocol,
+    # decomposition, extrapolation); append this run's raw JSON to it.
     os.makedirs("BENCH", exist_ok=True)
-    r8 = report["detail"][8]
-    r32 = report["detail"][32]
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH — crawl-round throughput & scaling evidence
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write("\n<!-- bench.py --scaling run -->\n```json\n")
+        f.write(json.dumps(report) + "\n```\n")
 
-Measured on this sandbox (single machine, local-mode Spark; the N vs 4N
-cluster sizes of the north rule are proxied by `local[8]` vs `local[32]`
-on the identical input, per BASELINE.md).
-
-## Job under test
-
-One full CrawlEngine round on a synthetic frontier of {SCALING_N:,}
-URLs over {N_HOSTS} hosts (one hub host holding ~30% of URLs — the skew
-case; fetch partitioning salted by politeness slot; skew-safe rank path
-enabled). {int(SEEN_FRAC*100)}% of the frontier is already in the seen
-set, so the round exercises the anti-join dedup at realistic hit rates,
-then politeness slot assignment, vectorized fetch + span extraction of
-the ~{int(SCALING_N*(1-SEEN_FRAC)):,} survivors, per-partition metrics,
-and the atomic snapshot commit. The JOB SHAPE is fixed across both
-parallelism levels (64 shuffle/frontier partitions, identical input) —
-only the executor-slot count varies, as on a real cluster. This box is
-shared with bursty external tenants, so each level reports its least-
-contended of {int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))}
-interleaved runs.
-
-## Results
-
-| parallelism | wall s | URLs deduped+fetched /s | /s/core |
-|---|---|---|---|
-| local[8]  | {r8["wall_sec"]} | {r8["urls_per_sec"]:,} | {r8["urls_per_sec_per_core"]:,} |
-| local[32] | {r32["wall_sec"]} | {r32["urls_per_sec"]:,} | {r32["urls_per_sec_per_core"]:,} |
-
-**Scaling efficiency (8 → 32 cores) = {report["scaling_efficiency_8_to_32"]}**
-(target ≥ 0.8 would mean perfect ¼ wall-time; local-mode shares one JVM,
-one disk and one driver, so this proxy under-reports what separate
-executors achieve — shuffle here is loopback, but driver-side job
-scheduling (~10 jobs/round) is serialized and does not shrink with
-cores).
-
-## 10^10 extrapolation methodology
-
-The sandbox cannot hold 10^10 rows. Evidence is per-partition: the round
-pipeline is embarrassingly parallel across hash partitions of
-(url_canon) except (a) the anti-join shuffle — bloom-prefiltered so only
-the unseen tail shuffles, (b) the global budget cut — two-pass
-range-partitioned rank, O(P) driver state, (c) the commit — O(1)
-manifest rename. Per-partition work at fixed partition size is constant,
-so frontier throughput scales with executor count until the driver's
-per-round job-scheduling cost (seconds) approaches the per-round compute
-(minutes at 10^7 URLs/round/1000 executors) — the round size knob
-(max_pages per round) controls that ratio directly.
-
-Reference single-node comparison: the reference crawler fetches
-sequentially with a fixed 1 s sleep between fetches
-(src/crawler/crawler.py:162-172) ⇒ <1 URL/s/process ceiling. This
-engine's measured {r32["urls_per_sec"]:,} URLs/s on one machine is a
->{int(r32["urls_per_sec"])}× single-node improvement while enforcing the
-same per-host politeness ordering logically.
-""")
 
 
 if __name__ == "__main__":
