@@ -348,6 +348,81 @@ def q_metrics_rollup(spark, sf_dir):
     )
 
 
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: top-10 open-order revenue (join + agg + top-k).
+    Catalyst broadcasts the filtered dims; revenue as exact cents."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("o_orderstatus") != "F")
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            ).cast("long").alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "revenue_cents",
+        )
+    )
+
+
+def q_nation_volume(spark, sf_dir):
+    """TPC-H Q5-shaped: revenue by nation within a region (3-way star
+    join, dims broadcast)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice") * 100)).cast("long").alias("revenue_cents")
+        )
+    )
+
+
+def q_running_host_total(spark, sf_dir):
+    """Window frame: per-user running event count + value sum over time
+    (the crawl-telemetry 'cumulative fetches per host' shape)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("running_n"),
+        F.round(F.sum(F.col("value") * 100).over(w)).cast("long").alias("running_cents"),
+    )
+
+
+def q_rollup_kind_day(spark, sf_dir):
+    """GROUP BY ROLLUP(event_type, day): subtotal + grand-total rows."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n",
+        )
+    )
+
+
 # ---- rows-only entries (non-SQL-expressible; exactness covered in pytest) --
 
 def q_minhash_dup_pairs(spark, sf_dir):
@@ -463,6 +538,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_dup_pairs": q_embedding_dup_pairs,
         "q_pricing_summary": q_pricing_summary,
         "q_revenue_by_nation": q_revenue_by_nation,
+        "q_shipping_priority": q_shipping_priority,
+        "q_nation_volume": q_nation_volume,
+        "q_running_host_total": q_running_host_total,
+        "q_rollup_kind_day": q_rollup_kind_day,
         "q_events_hourly": q_events_hourly,
         "q_metrics_rollup": q_metrics_rollup,
         # rows-only (non-SQL-expressible; pytest covers exactness)
@@ -686,6 +765,40 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "q_shipping_priority": """
+            SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount) * 100))::BIGINT
+                     AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                          JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING' AND o_orderstatus != 'F'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+        """,
+        "q_nation_volume": """
+            SELECT n_name,
+                   round(sum(o_totalprice * 100))::BIGINT AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "q_running_host_total": """
+            SELECT user_id, event_id,
+                   count(*) OVER w AS running_n,
+                   round(sum(value * 100) OVER w)::BIGINT AS running_cents
+            FROM events WHERE event_id < 2000
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "q_rollup_kind_day": """
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(day, '<all>') AS day, count(*) AS n
+            FROM (SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+                  FROM events)
+            GROUP BY ROLLUP(event_type, day)
         """,
         "q_events_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,

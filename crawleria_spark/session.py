@@ -55,6 +55,10 @@ def get_spark(
         # cluster it also cuts object-store egress)
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # our joins (dedup anti-join, media enrichment) key on high-
+        # cardinality hashes and never need sorted output — shuffled hash
+        # join skips both sorts (measured ~12% round wall)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
