@@ -148,6 +148,10 @@ class CrawlEngine:
             if robots_rows
             else None
         )
+        # broadcast the rules only while they fit (a web-scale robots set
+        # is millions of hosts → shuffle join on host instead; AQE decides
+        # the physical strategy from real sizes when we don't hint)
+        self._robots_small = bool(robots_rows) and len(robots_rows) <= 100_000
 
     # ------------------------------------------------------------------ init
 
@@ -274,8 +278,9 @@ class CrawlEngine:
         path = F.regexp_extract("url_canon", r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1)
         best = best.withColumn("__path", F.when(path == "", "/").otherwise(path))
         if cfg.respect_robots_txt and self.robots is not None:
+            robots = F.broadcast(self.robots) if self._robots_small else self.robots
             matches = best.join(
-                F.broadcast(self.robots),
+                robots,
                 (F.col("host") == F.col("r_host"))
                 & F.col("__path").startswith(F.col("path_prefix")),
                 "left",
@@ -369,6 +374,7 @@ class CrawlEngine:
             alive.unpersist()
             decided.unpersist()
             kept.unpersist()
+            ranked.unpersist()
             return {"round": rnd, "n_fetched": 0, "n_pending": -1, "stopped": True}
 
         # 6. cumulative per-host sequence (politeness_slot already assigned);
@@ -557,7 +563,7 @@ class CrawlEngine:
         _tick("commit (all writes)")
         n_pending = self.catalog.read("frontier").count()
         _tick("pending count")
-        for df in (alive, decided, kept, fetched, cand):
+        for df in (alive, decided, ranked, kept, fetched, cand):
             df.unpersist()
         return {
             "round": rnd,
