@@ -101,7 +101,9 @@ class OracleCrawler:
         for r in rules:
             self._robots.setdefault(r["host"], []).append((r["path_prefix"], r["allow"]))
         for prefixes in self._robots.values():
-            prefixes.sort(key=lambda t: len(t[0]), reverse=True)  # longest prefix first
+            # longest prefix first; among equal lengths disallow wins
+            # (conservative tie-break, mirrored in the engine's rule window)
+            prefixes.sort(key=lambda t: (-len(t[0]), t[1]))
 
     def _robots_allowed(self, host: str, path: str) -> bool:
         if not self.config.respect_robots_txt:

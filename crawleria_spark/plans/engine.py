@@ -285,8 +285,11 @@ class CrawlEngine:
                 & F.col("__path").startswith(F.col("path_prefix")),
                 "left",
             )
+            # longest prefix wins; among equal lengths the DISALLOW rule
+            # wins (conservative tie-break, mirrored in the oracle)
             w_rule = Window.partitionBy("url_canon").orderBy(
-                F.length("path_prefix").desc_nulls_last()
+                F.length("path_prefix").desc_nulls_last(),
+                F.col("allow").asc_nulls_last(),
             )
             decided = (
                 matches.withColumn("__rr", F.row_number().over(w_rule))

