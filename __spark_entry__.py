@@ -479,6 +479,34 @@ def q_media_pipeline(spark, sf_dir):
     )
 
 
+def q_winnow_dup_pairs(spark, sf_dir):
+    """Rolling-hash (winnowing) near-dup: explode fingerprints → bucket
+    self-join → pairs sharing >= 40% of the smaller doc's fingerprints.
+    Oracle: pytest winnowing properties (tests/test_text_functions.py)."""
+    from crawleria_spark.functions.text import winnow_fingerprints_udf
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fps = docs.select(
+        "doc_id", F.explode(winnow_fingerprints_udf("text")).alias("fp")
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    l, r = fps.alias("l"), fps.alias("r")
+    shared = (
+        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
+        .agg(F.countDistinct("l.fp").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_fp": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_fp": "nb"}), "id_b")
+        .withColumn(
+            "overlap", F.round(F.col("n_shared") / F.least("na", "nb"), 6)
+        )
+        .filter(F.col("overlap") >= 0.4)
+        .select("id_a", "id_b", "n_shared", "overlap")
+    )
+
+
 def q_crawl_round(spark, sf_dir):
     """One real engine crawl (3 rounds, synthetic world) returning the
     fetch log — the north-rule pipeline end-to-end. Oracle: pytest
@@ -547,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible; pytest covers exactness)
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
         "q_simhash_dup_pairs": q_simhash_dup_pairs,
+        "q_winnow_dup_pairs": q_winnow_dup_pairs,
         "q_ann_lsh_topk": q_ann_lsh_topk,
         "q_media_pipeline": q_media_pipeline,
         "q_crawl_round": q_crawl_round,

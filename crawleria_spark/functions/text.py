@@ -95,6 +95,54 @@ def fingerprint_xxhash(text: Column | str) -> Column:
 
 
 # --------------------------------------------------------------------------
+# winnowing fingerprints: rolling-hash k-grams, window minima (MOSS-style)
+# --------------------------------------------------------------------------
+
+import numpy as np
+from pyspark.sql import functions as _F  # noqa: F401 (re-export clarity)
+
+
+def _winnow_one(text: str, k: int, w: int) -> list[int]:
+    """Deterministic winnowing: FNV-1a rolling over char k-grams of the
+    normalized text, keep each window's minimum hash (dedup consecutive).
+    Vectorized with numpy sliding windows."""
+    norm = " ".join(text.lower().split())
+    if len(norm) < k:
+        return []
+    data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    n = len(data) - k + 1
+    if n <= 0:
+        return []
+    # FNV-1a over each k-byte gram via a strided view (vectorized)
+    grams = np.lib.stride_tricks.sliding_window_view(data, k)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            h = (h ^ grams[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
+    if n <= w:
+        return [int(h.min())]
+    windows = np.lib.stride_tricks.sliding_window_view(h, w)
+    minima = windows.min(axis=1)
+    out: list[int] = []
+    prev = None
+    for v in minima:
+        if prev is None or v != prev:
+            out.append(int(v))
+            prev = v
+    return sorted(set(out))
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def winnow_fingerprints_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing fingerprints (k=8 chars, window=4) — the rolling-hash
+    document signature for copy detection; two docs sharing a fingerprint
+    share at least one 8-gram selected by both windows."""
+    return texts.fillna("").map(
+        lambda t: [v - (1 << 64) if v >= (1 << 63) else v for v in _winnow_one(t, 8, 4)]
+    )
+
+
+# --------------------------------------------------------------------------
 # language ID: character-frequency + stopword heuristic (pandas UDF)
 # --------------------------------------------------------------------------
 

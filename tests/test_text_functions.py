@@ -84,3 +84,33 @@ def test_fingerprint_normalization(spark):
     fp = {r["id"]: r["fp"] for r in rows}
     assert fp[1] == fp[2]  # case + whitespace insensitive
     assert fp[1] != fp[3]
+
+
+def test_winnowing_fingerprints(spark):
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.functions.text import winnow_fingerprints_udf
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (2, "the quick brown fox jumps over the lazy dog and runs away fast"),
+        (3, "THE  quick   brown fox jumps over the lazy dog and runs away fast"),
+        (4, "completely different content with no shared substrings at all!"),
+        (5, "xy"),  # shorter than k → empty
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: r["fp"]
+        for r in df.select("id", winnow_fingerprints_udf("text").alias("fp")).collect()
+    }
+    assert got[1] == got[2]  # identical docs → identical fingerprints
+    assert got[1] == got[3]  # whitespace/case-normalized
+    assert len(set(got[1]) & set(got[4])) == 0  # disjoint content
+    assert got[5] == []
+    # overlap detection: shared prefix → shared fingerprints
+    df2 = spark.createDataFrame(
+        [(6, rows[0][1] + " with an extra tail appended here")], "id long, text string"
+    )
+    fp6 = df2.select(winnow_fingerprints_udf("text").alias("fp")).first()["fp"]
+    overlap = len(set(got[1]) & set(fp6)) / len(got[1])
+    assert overlap > 0.6
