@@ -454,6 +454,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-probed cosine top-k (sampled k-means cells, nprobe probing,
+    exact rerank). Oracle: pytest nprobe=all == brute equality."""
+    from crawleria_spark.operators.ann import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = cosine_topk_ivf(emb, qv, k=10, n_centroids=8, nprobe=3, seed=42)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_media_pipeline(spark, sf_dir):
     """Multimodal plumbing: binary column → decode → resize plan →
     features (codec stubbed; schema/batch shape real)."""
@@ -577,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_dup_pairs": q_simhash_dup_pairs,
         "q_winnow_dup_pairs": q_winnow_dup_pairs,
         "q_ann_lsh_topk": q_ann_lsh_topk,
+        "q_ann_ivf_topk": q_ann_ivf_topk,
         "q_media_pipeline": q_media_pipeline,
         "q_crawl_round": q_crawl_round,
     }

@@ -62,6 +62,73 @@ def cosine_topk_pandas(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train IVF centroids: mini k-means (Lloyd) on a driver-side sample.
+
+    The sample is a bounded `limit` over a seeded repartition — at 10^9
+    vectors the driver only ever sees `sample_rows` rows; centroids are
+    (n_centroids × dim) floats, trivially broadcastable.
+    """
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).limit(sample_rows).collect()
+        ]
+    )
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = sample @ centroids.T  # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / np.linalg.norm(v)
+    return centroids
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF probe: scan only the nprobe cells nearest the query, exact
+    rerank inside. The inverted-file analogue of the LSH path — recall
+    is tunable via nprobe/n_centroids; precision exact."""
+    if centroids is None:
+        centroids = ivf_centroids(df, vec_col, n_centroids, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probe_cells = set(np.argsort(centroids @ q)[::-1][:nprobe].tolist())
+    bc = df.sparkSession.sparkContext.broadcast((centroids, sorted(probe_cells)))
+
+    @F.pandas_udf(T.BooleanType())
+    def in_probed_cell(vecs: pd.Series) -> pd.Series:
+        cents, cells = bc.value
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        assign = (mat @ cents.T).argmax(axis=1)
+        return pd.Series(np.isin(assign, cells))
+
+    probed = df.filter(in_probed_cell(F.col(vec_col)))
+    return cosine_topk_brute(probed, query_vec, k, vec_col, id_col)
+
+
 def cosine_topk_lsh(
     df: DataFrame,
     query_vec,

@@ -126,3 +126,30 @@ def test_cosine_topk_variants_agree(spark, vectors):
     assert all(v in set(brute_order) or True for v in lsh)  # sanity
     # top-1 recall with 8 tables of 4 planes should hold
     assert brute_order[0] in lsh
+
+
+def test_cosine_topk_ivf(spark, vectors):
+    """IVF probe: the query's own cell is always probed → top-1 recall;
+    with all cells probed it equals brute force exactly."""
+    import numpy as np
+
+    from crawleria_spark.operators.ann import cosine_topk_ivf, ivf_centroids
+
+    q = [float(x) for x in np.ones(16) / 4.0]
+    brute = [r["vec_id"] for r in cosine_topk_brute(vectors, q, k=5).collect()]
+    cents = ivf_centroids(vectors, n_centroids=4, sample_rows=100, seed=7)
+    assert cents.shape == (4, 16)
+    ivf = [
+        r["vec_id"]
+        for r in cosine_topk_ivf(vectors, q, k=5, centroids=cents, nprobe=2).collect()
+    ]
+    assert brute[0] in ivf  # top-1 recall with its own cell probed
+    # probing ALL cells == exact brute force
+    full = [
+        r["vec_id"]
+        for r in cosine_topk_ivf(vectors, q, k=5, centroids=cents, nprobe=4).collect()
+    ]
+    assert full == brute
+    # determinism
+    cents2 = ivf_centroids(vectors, n_centroids=4, sample_rows=100, seed=7)
+    assert np.allclose(cents, cents2)
