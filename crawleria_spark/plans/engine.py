@@ -142,8 +142,17 @@ class CrawlEngine:
         self.collect_stats = collect_stats
         self.robots = (
             spark.createDataFrame(
-                [(r["host"], r["path_prefix"], bool(r["allow"])) for r in robots_rows],
-                schema="r_host string, path_prefix string, allow boolean",
+                [
+                    (
+                        r["host"],
+                        r["path_prefix"],
+                        bool(r["allow"]),
+                        float(r.get("crawl_delay_s", config.politeness_delay_s)),
+                    )
+                    for r in robots_rows
+                ],
+                schema="r_host string, path_prefix string, allow boolean, "
+                "crawl_delay_s double",
             )
             if robots_rows
             else None
@@ -295,10 +304,16 @@ class CrawlEngine:
                 matches.withColumn("__rr", F.row_number().over(w_rule))
                 .filter(F.col("__rr") == 1)
                 .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
+                .withColumn(
+                    "crawl_delay_s",
+                    F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.politeness_delay_s)),
+                )
                 .drop("__rr", "r_host", "path_prefix", "allow")
             )
         else:
-            decided = best.withColumn("__allow", F.lit(True))
+            decided = best.withColumn("__allow", F.lit(True)).withColumn(
+                "crawl_delay_s", F.lit(cfg.politeness_delay_s)
+            )
         decided = decided.persist()
         denied = decided.filter(~F.col("__allow"))
         fetchable = decided.filter(F.col("__allow")).drop("__allow", "__path")

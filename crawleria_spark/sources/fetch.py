@@ -108,9 +108,12 @@ def fetch_stage(
                 if simulate_wallclock and "politeness_slot" in pdf.columns:
                     host = getattr(row, "host", "")
                     slot = int(getattr(row, "politeness_slot", 0))
+                    # per-host crawl delay from the matched robots rule
+                    # (fixture §3 crawl_delay_s) falls back to the global
+                    delay = float(getattr(row, "crawl_delay_s", politeness_delay_s) or politeness_delay_s)
                     gap = slot - prev_slot_by_host.get(host, slot)
                     if gap > 0:
-                        time.sleep(gap * politeness_delay_s)
+                        time.sleep(gap * delay)
                     prev_slot_by_host[host] = slot
                 payload = None
                 last_err = None

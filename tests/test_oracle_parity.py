@@ -183,3 +183,28 @@ def test_parity_with_conflicting_robots_rules(spark, tmp_path):
     assert not any("/p/1" == u[-4:] for u in denied) or True
     for u in denied:
         assert u.rsplit("/", 2)[-2] == "p"
+
+
+@pytest.mark.parametrize("seed", [31, 77])
+def test_parity_on_random_worlds(spark, tmp_path, seed):
+    """SURVEY §5.4 property: randomized link graphs (seeded) → oracle ==
+    engine on order, seen set, and spans."""
+    world = WorldConfig(
+        seed=seed,
+        n_hosts=4 + seed % 5,
+        pages_per_host=15 + seed % 20,
+        mean_links=3 + seed % 4,
+        error_rate=0.05,
+        hub_host_prob=0.2 + (seed % 3) * 0.15,
+    )
+    config = CrawlConfig(
+        max_depth=1 + seed % 2,
+        max_pages=20 + seed % 15,
+        max_concurrent_per_host=2 + seed % 3,
+    )
+    seeds = seed_urls(world, n=2 + seed % 3)
+    oracle = OracleCrawler(config, world).crawl(seeds)
+    catalog = run_engine(
+        spark, str(tmp_path / f"w{seed}"), config=config, world=world, seeds=seeds
+    )
+    assert_parity(catalog, oracle)

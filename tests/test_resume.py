@@ -83,3 +83,30 @@ def test_capture_single_page(spark, tmp_path):
     assert row["status"] == "ok"
     assert row["politeness_slot"] == 0 and row["seq_in_host"] == 0
     assert row["doc_id"] and row["doc_id"].startswith("h")
+
+
+def test_wallclock_politeness_smoke(spark, tmp_path):
+    """simulate_wallclock honors per-host crawl_delay_s from robots rules
+    (logical outputs identical to the logical-only mode)."""
+    import time as _time
+
+    from crawleria_spark.synthetic.world import robots_rules
+
+    cfg = CrawlConfig(max_depth=0, max_pages=6, max_concurrent_per_host=6)
+    rules = [dict(r, crawl_delay_s=0.05) for r in robots_rules(WORLD)]
+    eng = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, str(tmp_path / "wc")),
+        cfg,
+        synthetic_fetcher(WORLD),
+        robots_rows=rules,
+        simulate_wallclock=True,
+    )
+    seeds = [f"https://{WORLD.host(0)}/p/{i}" for i in range(6)]
+    t0 = _time.time()
+    eng.crawl(seeds, max_rounds=1)
+    wall = _time.time() - t0
+    log = eng.catalog.read("fetch_log").collect()
+    assert len(log) == 6
+    assert sorted(r["politeness_slot"] for r in log) == list(range(6))
+    assert wall >= 0.05 * 4  # at least some slot gaps actually slept
