@@ -99,7 +99,6 @@ def fingerprint_xxhash(text: Column | str) -> Column:
 # --------------------------------------------------------------------------
 
 import numpy as np
-from pyspark.sql import functions as _F  # noqa: F401 (re-export clarity)
 
 
 def _winnow_one(text: str, k: int, w: int) -> list[int]:
