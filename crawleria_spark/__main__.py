@@ -54,6 +54,7 @@ def cmd_crawl(args, spark) -> dict:
     log = catalog.read("fetch_log")
     return {
         "rounds": len(stats),
+        "total_rounds": int(catalog.latest_meta().get("round", -1)) + 1,
         "fetched": log.filter("status in ('ok','error')").count(),
         "documents": catalog.read("documents").count(),
         "pending": catalog.read("frontier").count(),
