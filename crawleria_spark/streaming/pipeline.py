@@ -29,6 +29,20 @@ def read_fetch_log_stream(
     return spark.readStream.schema(schema).parquet(log_dir)
 
 
+def stream_crawl_fetch_log(spark: SparkSession, catalog_root: str) -> DataFrame:
+    """Stream the CrawlEngine's fetch_log as rounds commit: the snapshot
+    catalog appends one parquet directory per round under
+    `<root>/fetch_log/v*/`, which a file-source glob tails exactly-once —
+    live crawl telemetry without re-reading history."""
+    from crawleria_spark.plans.engine import FETCH_LOG_SCHEMA
+
+    return (
+        spark.readStream.schema(FETCH_LOG_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{catalog_root}/fetch_log/*")
+    )
+
+
 def hourly_metrics_stream(
     events: DataFrame,
     ts_col: str = "ts",

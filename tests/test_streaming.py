@@ -73,3 +73,42 @@ def test_sessionize_hosts_stream(spark, events_dir, tmp_path):
     for r in rows:
         assert r["session_fetches"] > 0
         assert r["session_start"] <= r["session_end"]
+
+
+def test_stream_crawl_fetch_log(spark, tmp_path):
+    """Tail the engine's fetch_log as rounds commit: rows appear after
+    each committed round, exactly once."""
+    from crawleria_spark.config import CrawlConfig
+    from crawleria_spark.plans.engine import CrawlEngine
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+    from crawleria_spark.sources.fetch import synthetic_fetcher
+    from crawleria_spark.streaming import stream_crawl_fetch_log
+    from crawleria_spark.synthetic.world import WorldConfig, seed_urls
+
+    world = WorldConfig(seed=9, n_hosts=4, pages_per_host=10)
+    root = str(tmp_path / "cat")
+    eng = CrawlEngine(
+        spark, SnapshotCatalog(spark, root),
+        CrawlConfig(max_depth=1, max_pages=12), synthetic_fetcher(world),
+    )
+    eng.init(seed_urls(world, n=2))
+    eng.run_round()
+
+    def drain():
+        q = (
+            stream_crawl_fetch_log(spark, root)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(str(tmp_path / "out")).count()
+
+    n1 = drain()
+    assert n1 == eng.catalog.read("fetch_log").count() > 0
+    eng.run_round()  # commit another round → new directory appears
+    n2 = drain()
+    assert n2 == eng.catalog.read("fetch_log").count() > n1
