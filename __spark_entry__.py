@@ -28,7 +28,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # helpers
 # ---------------------------------------------------------------------------
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship crawleria_spark to this session's Python workers. The caller
+    may have built the SparkSession without the repo on PYTHONPATH
+    (workers do NOT inherit driver sys.path); addPyFile works after JVM
+    start and is idempotent per session."""
+    if getattr(spark, "_crawleria_shipped", False):
+        return
+    try:
+        from tools.package import build
+
+        spark.sparkContext.addPyFile(build())
+    except Exception:
+        pass  # best effort — PYTHONPATH/cwd may already cover it
+    spark._crawleria_shipped = True
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -530,6 +547,7 @@ def q_crawl_round(spark, sf_dir):
     from crawleria_spark.sources.fetch import synthetic_fetcher
     from crawleria_spark.synthetic.world import WorldConfig, robots_rules, seed_urls
 
+    _ensure_shipped(spark)
     world = WorldConfig(seed=13, n_hosts=6, pages_per_host=20, mean_links=4)
     cfg = CrawlConfig(max_depth=1, max_pages=15, max_concurrent_per_host=3)
     root = tempfile.mkdtemp(prefix="crawl_entry_")
