@@ -106,6 +106,44 @@ def cmd_query(args, spark) -> dict:
     }
 
 
+def cmd_interactive(args, spark) -> dict:
+    """Reference `interactive` mode (src/main.py:292-312): query loop
+    over the crawled catalog; 'exit' quits. Reads stdin (pipeable)."""
+    n = 0
+    print("crawleria interactive — type a query, 'exit' to quit", flush=True)
+    for line in sys.stdin:
+        text = line.strip()
+        if not text or text.lower() in ("exit", "quit"):
+            break
+        q_args = argparse.Namespace(
+            catalog=args.catalog, text=text, top_k=args.top_k, threshold=args.threshold
+        )
+        print(json.dumps(cmd_query(q_args, spark), default=str), flush=True)
+        n += 1
+    return {"queries_answered": n}
+
+
+def cmd_metrics(args, spark) -> dict:
+    """Per-round crawl metrics from the lineage table."""
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+
+    catalog = SnapshotCatalog(spark, args.catalog)
+    rows = (
+        catalog.read("metrics")
+        .filter("partition = -1")
+        .orderBy("round")
+        .collect()
+    )
+    return {
+        "rounds": [
+            {k: r[k] for k in ("round", "n_dequeued", "n_deduped", "n_fetched",
+                               "n_errors", "n_discovered", "wall_ms")}
+            for r in rows
+        ],
+        "meta": catalog.latest_meta(),
+    }
+
+
 def cmd_pipeline(args, spark) -> dict:
     out = {"crawl": cmd_crawl(args, spark)}
     if args.media_dir:
@@ -140,6 +178,12 @@ def main(argv=None) -> int:
     q.add_argument("--top-k", type=int, default=5)
     q.add_argument("--threshold", type=float, default=0.05)
 
+    it = sub.add_parser("interactive")
+    it.add_argument("--top-k", type=int, default=5)
+    it.add_argument("--threshold", type=float, default=0.05)
+
+    sub.add_parser("metrics")
+
     pl = sub.add_parser("pipeline")
     pl.add_argument("url")
     pl.add_argument("--depth", type=int, default=2)
@@ -158,7 +202,14 @@ def main(argv=None) -> int:
     from crawleria_spark.session import get_spark
 
     spark = get_spark("crawleria_cli", cores=args.cores)
-    result = {"crawl": cmd_crawl, "process": cmd_process, "query": cmd_query, "pipeline": cmd_pipeline}[args.cmd](args, spark)
+    result = {
+        "crawl": cmd_crawl,
+        "process": cmd_process,
+        "query": cmd_query,
+        "pipeline": cmd_pipeline,
+        "interactive": cmd_interactive,
+        "metrics": cmd_metrics,
+    }[args.cmd](args, spark)
     print(json.dumps(result, default=str))
     return 0
 

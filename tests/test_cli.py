@@ -44,3 +44,23 @@ def test_cli_process(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["indexed"] == 3 and out["quarantined"] == 0
+
+
+def test_cli_metrics_and_interactive(spark, tmp_path, capsys, monkeypatch):
+    import io
+
+    cat = str(tmp_path / "mi")
+    main(["--catalog", cat, "crawl", "https://hub.example.com/p/0",
+          "--depth", "1", "--max-pages", "8", "--max-rounds", "3"])
+    capsys.readouterr()
+    rc = main(["--catalog", cat, "metrics"])
+    assert rc == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["rounds"] and m["rounds"][0]["round"] == 0
+    assert m["meta"]["fetched_total"] <= 8
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("spark frontier\nexit\n"))
+    rc = main(["--catalog", cat, "interactive", "--threshold", "0.01"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert json.loads(out[-1])["queries_answered"] == 1
