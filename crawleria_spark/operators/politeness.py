@@ -70,10 +70,13 @@ def salted_host_rank(
                     *[
                         x
                         for (pid, host), off in offsets.items()
-                        for x in (F.concat_ws("|", F.lit(pid), F.lit(host)), F.lit(off))
+                        for x in (
+                            F.concat_ws("\u001f", F.lit(pid), F.lit(host)),
+                            F.lit(off),
+                        )
                     ]
                 ),
-                F.concat_ws("|", F.col("__pid"), F.col(host_col)),
+                F.concat_ws("\u001f", F.col("__pid"), F.col(host_col)),
             ),
             F.lit(0),
         )
