@@ -868,7 +868,7 @@ def oracle_sql() -> dict[str, str]:
         "q_metrics_rollup": """
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                    count(*) AS n_events,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
         """,

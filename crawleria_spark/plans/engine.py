@@ -193,18 +193,23 @@ class CrawlEngine:
         ).withColumn("url_hash", F.xxhash64("url_canon")).select(
             [f.name for f in FRONTIER_SCHEMA.fields]
         )
-        # seen/host_seq are APPEND tables (deltas per round, O(delta) IO —
-        # rewriting the cumulative seen set per round would be O(total) and
-        # unworkable at 10^10 URLs); host_seq is aggregated at read.
+        # seen/host_seq etc. are APPEND tables during rounds (deltas per
+        # round, O(delta) IO — rewriting the cumulative seen set per round
+        # would be O(total) and unworkable at 10^10 URLs), but init commits
+        # them under REPLACE: a fresh crawl into a reused catalog root must
+        # not inherit the previous run's seen set / documents / fetch_log
+        # (it would silently dedup against them and mix stale rows into
+        # results). Stale seen_bloom is dropped for the same reason.
         self.catalog.commit(
-            replace={"frontier": frontier},
-            append={
+            replace={
+                "frontier": frontier,
                 "seen": self._empty(SEEN_SCHEMA),
                 "host_seq": self._empty(HOST_SEQ_SCHEMA),
                 "documents": self._empty(DOCUMENTS_SCHEMA),
                 "fetch_log": self._empty(FETCH_LOG_SCHEMA),
                 "metrics": self._empty(METRICS_SCHEMA),
             },
+            drop=["seen_bloom"],
             meta={"round": -1, "next_priority": next_priority, "fetched_total": 0},
         )
 
@@ -438,7 +443,7 @@ class CrawlEngine:
             )
         ).persist()
 
-        # 8. documents append        _tick("fetch stage built (lazy)")
+        _tick("fetch stage built (lazy)")
 
         # 8. documents append (doc_id from the RAW url, like the reference;
         #    computed inside the fetch UDF — no second Python pass here)
@@ -597,11 +602,30 @@ class CrawlEngine:
         179-203): fetch ONE URL as a 1-row frontier round; returns the
         fetch-log row plus the stored doc_id (artifacts live in the
         documents table, not loose files)."""
+        from crawleria_spark.functions.urls import canonicalize
+
         self.crawl([url], max_rounds=1)
-        log = self.catalog.read("fetch_log").collect()
-        docs = {r["url_canon"]: r["doc_id"] for r in self.catalog.read("documents").collect()}
+        # Filter BOTH reads to the captured url_canon before collecting —
+        # on a long-lived catalog an unfiltered collect() of fetch_log /
+        # documents is a driver-killer, and log[0] would be an arbitrary
+        # stale row rather than this capture's.
+        canon = canonicalize(url)
+        log = (
+            self.catalog.read("fetch_log")
+            .filter(F.col("url_canon") == canon)
+            .orderBy(F.col("round").desc())
+            .limit(1)
+            .collect()
+        )
+        docs = (
+            self.catalog.read("documents")
+            .filter(F.col("url_canon") == canon)
+            .orderBy(F.col("round").desc())
+            .limit(1)
+            .collect()
+        )
         row = log[0].asDict() if log else {}
-        row["doc_id"] = docs.get(row.get("url_canon"))
+        row["doc_id"] = docs[0]["doc_id"] if docs else None
         return row
 
     # ----------------------------------------------------------------- crawl

@@ -92,13 +92,21 @@ class SnapshotCatalog:
         replace: dict[str, DataFrame] | None = None,
         append: dict[str, DataFrame] | None = None,
         meta: dict | None = None,
+        drop: list[str] | None = None,
     ) -> int:
-        """Write changed tables, carry the rest forward, publish atomically."""
+        """Write changed tables, carry the rest forward, publish atomically.
+
+        ``drop`` removes tables from the new manifest (their data dirs stay
+        on disk until ``gc``) — used by CrawlEngine.init to clear stale
+        state (e.g. seen_bloom) when starting a fresh crawl in a reused
+        catalog root."""
         prev = self.latest_manifest()
         version = (prev["version"] + 1) if prev else 0
         tables: dict[str, list[str]] = {
             k: list(v) for k, v in (prev["tables"] if prev else {}).items()
         }
+        for name in drop or []:
+            tables.pop(name, None)
         # Independent tables write concurrently — Spark schedules jobs from
         # multiple driver threads onto the same executors (FIFO pool), so
         # small writes overlap instead of paying N sequential job latencies.

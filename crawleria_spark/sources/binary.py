@@ -79,11 +79,18 @@ def ingest_media_dir(
         "media_id", "source_path", F.col("meta.decode_error").alias("error")
     )
 
-    # create-or-get + append (reference ConflictError→list/reuse semantics)
+    # create-or-get + append (reference ConflictError→list/reuse semantics):
+    # on reuse, verify the existing table is schema-compatible before
+    # appending — the reference surfaces a ConflictError on name collision;
+    # our equivalent failure mode is a silent mixed-schema table.
     if catalog.exists(table):
-        catalog.commit(append={table: good, f"{table}_errors": bad})
-    else:
-        catalog.commit(append={table: good, f"{table}_errors": bad})
+        existing = set(catalog.read(table).columns)
+        if existing != set(good.columns):
+            raise ValueError(
+                f"media index {table!r} exists with incompatible schema: "
+                f"{sorted(existing)} vs {sorted(good.columns)}"
+            )
+    catalog.commit(append={table: good, f"{table}_errors": bad})
     n_good = catalog.read(table).count()
     n_bad = catalog.read(f"{table}_errors").count()
     processed.unpersist()

@@ -85,6 +85,30 @@ def test_capture_single_page(spark, tmp_path):
     assert row["doc_id"] and row["doc_id"].startswith("h")
 
 
+def test_fresh_crawl_resets_reused_catalog(spark, tmp_path):
+    """A fresh crawl (init) into a catalog root that already holds a
+    previous run must NOT inherit its seen set, documents, or fetch_log —
+    else the second crawl silently dedups against the first and mixes
+    stale rows into results (ADVICE r1). The two runs must match a run
+    into a clean root exactly."""
+    reused = str(tmp_path / "reused")
+    _mk_engine(spark, reused).crawl(SEEDS, max_rounds=20)
+    first = _final_state(SnapshotCatalog(spark, reused))
+
+    # second fresh crawl into the SAME root (CLI default behavior)
+    _mk_engine(spark, reused).crawl(SEEDS, max_rounds=20)
+    second = _final_state(SnapshotCatalog(spark, reused))
+    assert second == first  # no stale seen/docs/log leaked in
+
+    # and capture_single_page on the used catalog returns THIS capture
+    eng = _mk_engine(spark, reused)
+    row = eng.capture_single_page(SEEDS[1])
+    assert row["status"] == "ok"
+    from crawleria_spark.functions.urls import canonicalize
+
+    assert row["url_canon"] == canonicalize(SEEDS[1])
+
+
 def test_wallclock_politeness_smoke(spark, tmp_path):
     """simulate_wallclock honors per-host crawl_delay_s from robots rules
     (logical outputs identical to the logical-only mode)."""

@@ -36,6 +36,33 @@ def norm_cell(v):
     return str(v)
 
 
+def spark_kind(dt) -> str:
+    """Coarse type kind for a Spark DataType, for driver-style type checks."""
+    name = dt.simpleString()
+    if name in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if name in ("float", "double"):
+        return "float"
+    if name.startswith("decimal"):
+        return "decimal"
+    return "other"
+
+
+def pandas_kind(dtype) -> str:
+    """Coarse type kind for a pandas dtype (DuckDB .df() output).
+
+    DuckDB maps HUGEINT (the default type of SUM over integers) to
+    float64 — the driver's value hash is type-sensitive, so an uncast
+    SUM in oracle_sql() shows up here as int-vs-float kind mismatch.
+    """
+    k = dtype.kind  # numpy kind char
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    return "other"
+
+
 def value_hash(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
@@ -83,6 +110,7 @@ def main():
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            odf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -93,13 +121,19 @@ def main():
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} duckdb={sorted(ocols)}")
         else:
+            skinds = {f.name: spark_kind(f.dataType) for f in sdf.schema.fields}
+            okinds = {c: pandas_kind(odf[c].dtype) for c in odf.columns}
+            for c in scols:
+                sk, ok = skinds.get(c), okinds.get(c)
+                if "other" not in (sk, ok) and sk != ok:
+                    problems.append(f"type-kind {c}: spark={sk} duckdb={ok}")
             sh = value_hash(srows, scols)
             oh = value_hash(orows, ocols)
             if sh != oh:
                 problems.append(f"value-hash {sh} != {oh}")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
-            if "--debug" in sys.argv or True:
+            if "--debug" in sys.argv:
                 o_sorted = sorted(map(str, orows))[:3]
                 s_sorted = sorted(map(str, srows))[:3]
                 print(f"   spark sample:  {s_sorted}")
