@@ -15,21 +15,39 @@ Five families, each chosen for a different scale/recall trade-off:
 - embedding near-dup: cosine ≥ t pairs via random-hyperplane LSH buckets
   (scale path) or brute force (small dims × small n; oracle-checkable).
 
-Signatures are computed in vectorized numpy over Arrow batches.
-All pair outputs are canonicalized (id_a < id_b) and deduplicated.
+Signature math is fully vectorized: token hashing is one cython
+`pd.util.hash_array` call per Arrow batch, shingles are uint64
+sliding-window polynomial combines, and the n_hashes minhash family is a
+single (shingles × hashes) uint64 broadcast per doc — no per-shingle
+Python loops, no object-dtype arrays (both were the CPU wall of the
+100 TB dedup path in round 1).
+
+Every LSH self-join is guarded against degenerate buckets: crawl corpora
+are boilerplate-heavy (one bucket holding every near-empty page), and an
+unguarded bucket of B rows emits B² candidates. Buckets larger than
+`max_bucket_size` emit a STAR instead — (min_id, other) for each member.
+Connected components (the thing dedup keepers consume) are identical;
+pairwise completeness inside oversized buckets is intentionally traded
+for a hard O(B) bound.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawleria_spark.functions.text import fingerprint_md5
 
-_MERSENNE = (1 << 61) - 1
+# 64-bit odd multipliers for shingle polynomial combine / splitmix64 mix.
+_FNV_PRIME = 0x100000001B3
+_MIX_C1 = 0xBF58476D1CE4E5B9
+_MIX_C2 = 0x94D049BB133111EB
+
+# Buckets beyond this size emit star pairs instead of all-pairs.
+DEFAULT_MAX_BUCKET = 64
 
 
 # ---------------------------------------------------------------------------
@@ -41,8 +59,6 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one row (min id) per normalized-text fingerprint."""
     fp = df.withColumn("__fp", fingerprint_md5(text_col))
-    from pyspark.sql import Window
-
     w = Window.partitionBy("__fp").orderBy(id_col)
     return (
         fp.withColumn("__rn", F.row_number().over(w))
@@ -67,32 +83,65 @@ def exact_dup_groups(
 
 
 # ---------------------------------------------------------------------------
-# shingles + minhash
+# vectorized token / shingle hashing (shared by minhash + jaccard verify)
 # ---------------------------------------------------------------------------
 
+def _token_hashes(texts: pd.Series) -> list[np.ndarray]:
+    """Per text: uint64 hash per lowercased whitespace token.
+
+    All tokens of the batch are hashed in ONE `pd.util.hash_array` call
+    (cython siphash, fixed key — deterministic across processes and
+    PYTHONHASHSEED), then split back per doc.
+    """
+    tok_lists = [t.lower().split() for t in texts.fillna("")]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    flat = [tok for toks in tok_lists for tok in toks]
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in tok_lists]
+    hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
+    bounds = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    return [hashes[bounds[i]: bounds[i + 1]] for i in range(len(lens))]
+
+
 def _shingle_hashes(texts: pd.Series, k: int) -> list[np.ndarray]:
-    """Per text: uint64 hashes of its k-word shingles (whitespace tokens)."""
+    """Per text: unique uint64 hashes of its k-word shingles.
+
+    Shingle hash = wrapping uint64 polynomial over the window's token
+    hashes (numpy sliding_window_view — same rolling-hash technique as
+    the winnowing fingerprints in functions/text.py). Docs shorter than
+    k collapse to one whole-doc shingle, empty docs to none.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    # multipliers P^(k-1), ..., P, 1 (mod 2^64), exact via Python ints
+    mults_full = np.array(
+        [pow(_FNV_PRIME, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
     out = []
-    for t in texts.fillna(""):
-        toks = t.lower().split()
-        if len(toks) < k:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        arr = np.fromiter(
-            (hash_str64(s) for s in set(shingles)), dtype=np.uint64, count=len(set(shingles))
-        )
-        out.append(arr)
+    for th in _token_hashes(texts):
+        n = len(th)
+        if n == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        kk = min(k, n)
+        mults = mults_full[k - kk:]
+        win = sliding_window_view(th, kk)  # (n-kk+1, kk), zero-copy
+        sh = (win * mults[None, :]).sum(axis=1, dtype=np.uint64)
+        out.append(np.unique(sh))
     return out
 
 
-def hash_str64(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a; no PYTHONHASHSEED trap)."""
-    h = 0xCBF29CE484222325
-    for b in s.encode("utf-8"):
-        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer: a strong uint64 bijection."""
+    z = (x ^ (x >> np.uint64(30))) * np.uint64(_MIX_C1)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(_MIX_C2)
+    return z ^ (z >> np.uint64(31))
 
+
+# ---------------------------------------------------------------------------
+# minhash
+# ---------------------------------------------------------------------------
 
 def minhash_signatures(
     df: DataFrame,
@@ -104,24 +153,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>): minhash over k-word shingles.
 
-    n_hashes universal-hash functions a_i·x + b_i mod p (p Mersenne 61),
-    evaluated as one (n_shingles × n_hashes) numpy broadcast per doc.
+    Hash family i is h_i(x) = splitmix64(x XOR seed_i) — splitmix64 is a
+    bijection, so each seed induces an (approximate) permutation of the
+    shingle space; the signature is one (n_shingles × n_hashes) uint64
+    broadcast + column-min per doc. All wrapping uint64 numpy — no
+    Python-int math, no object dtype.
     """
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(object)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(object)
+    seeds = rng.integers(0, 1 << 64, size=n_hashes, dtype=np.uint64)
 
     def sig_batch(it):
         for pdf in it:
-            sigs = []
-            for hs in _shingle_hashes(pdf[text_col], shingle_k):
-                if len(hs) == 0:
-                    sigs.append([0] * n_hashes)
-                    continue
-                x = hs.astype(object)[:, None]  # python ints: exact mod-p math
-                vals = (a[None, :] * x + b[None, :]) % _MERSENNE
-                sigs.append([int(v) for v in vals.min(axis=0)])
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+            sigs = np.zeros((len(pdf), n_hashes), dtype=np.uint64)
+            for j, hs in enumerate(_shingle_hashes(pdf[text_col], shingle_k)):
+                if len(hs):
+                    sigs[j] = _mix64(hs[:, None] ^ seeds[None, :]).min(axis=0)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "sig": list(sigs.view(np.int64))}
+            )
 
     schema = T.StructType(
         [
@@ -132,13 +181,65 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInPandas(sig_batch, schema=schema)
 
 
+def _capped_self_join_pairs(
+    keyed: DataFrame,
+    keys: list[str],
+    id_col: str,
+    max_bucket_size: int,
+    carry: dict[str, str] | None = None,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from a bucketed self-join with a
+    degenerate-bucket guard.
+
+    Buckets with ≤ max_bucket_size members do the normal all-pairs
+    self-join on the bucket keys. Larger buckets emit a star on the
+    bucket's min id — O(B) pairs instead of O(B²) — which preserves the
+    connected components exact verification will confirm. ``carry`` maps
+    output-suffix -> source column for per-side payloads (e.g. simhash
+    signatures): {"sh": "simhash"} yields sh_a / sh_b columns.
+
+    The window count/min and the self-join share the same partitioning
+    keys, so the window's exchange is reused by the join.
+    """
+    carry = carry or {}
+    w = Window.partitionBy(*keys)
+    rep = F.min(F.struct(id_col, *carry.values())).over(w)
+    sized = keyed.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn("__rep", rep)
+
+    small = sized.filter(F.col("__n") <= max_bucket_size)
+    l, r = small.alias("l"), small.alias("r")
+    cond = (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    for k in keys:
+        cond &= F.col(f"l.{k}") == F.col(f"r.{k}")
+    small_pairs = l.join(r, cond).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        *[F.col(f"l.{src}").alias(f"{suf}_a") for suf, src in carry.items()],
+        *[F.col(f"r.{src}").alias(f"{suf}_b") for suf, src in carry.items()],
+    )
+    big = sized.filter(
+        (F.col("__n") > max_bucket_size) & (F.col(id_col) != F.col("__rep")[id_col])
+    )
+    big_pairs = big.select(
+        F.col("__rep")[id_col].alias("id_a"),
+        F.col(id_col).alias("id_b"),
+        *[F.col("__rep")[src].alias(f"{suf}_a") for suf, src in carry.items()],
+        *[F.col(src).alias(f"{suf}_b") for suf, src in carry.items()],
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signatures, bucket-join: (id_a, id_b) candidate pairs.
 
     rows_per_band = n_hashes / bands. Collision probability for Jaccard
-    s is 1-(1-s^r)^b — the standard S-curve knob.
+    s is 1-(1-s^r)^b — the standard S-curve knob. Oversized buckets
+    (boilerplate classes) fall back to star pairs (see module doc).
     """
     banded = sigs.select(
         F.col(id_col),
@@ -155,21 +256,9 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
+    return _capped_self_join_pairs(
+        banded, ["band", "bucket"], id_col, max_bucket_size
     )
-    return pairs
 
 
 def ngram_jaccard(
@@ -192,8 +281,9 @@ def ngram_jaccard(
             hb = _shingle_hashes(pdf["text_b"], shingle_k)
             out = []
             for x, y in zip(ha, hb):
-                union = len(np.union1d(x, y))
-                inter = len(np.intersect1d(x, y))
+                # x, y already unique+sorted (np.unique) → merge-intersect
+                inter = len(np.intersect1d(x, y, assume_unique=True))
+                union = len(x) + len(y) - inter
                 out.append(inter / union if union else 1.0)
             yield pd.DataFrame(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "jaccard": out}
@@ -218,10 +308,11 @@ def minhash_lsh_dedup_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     seed: int = 42,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH candidates → exact verify."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
-    cand = minhash_lsh_candidates(sigs, id_col, bands)
+    cand = minhash_lsh_candidates(sigs, id_col, bands, max_bucket_size)
     verified = ngram_jaccard(df, cand, text_col, id_col, shingle_k)
     return verified.filter(F.col("jaccard") >= jaccard_threshold)
 
@@ -233,27 +324,31 @@ def minhash_lsh_dedup_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, simhash long): 64-bit simhash over whitespace tokens."""
+    """(id, simhash long): 64-bit simhash over whitespace tokens.
+
+    Whole-batch vectorized: one hash_array call for every token in the
+    batch, one (tokens × 64) bit expansion, and per-doc bit votes via
+    np.add.reduceat over doc offsets — no per-token Python.
+    """
 
     def sim_batch(it):
+        bitpos = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << bitpos
+
         for pdf in it:
-            out = []
-            for t in pdf[text_col].fillna(""):
-                toks = t.lower().split()
-                if not toks:
-                    out.append(0)
-                    continue
-                hs = np.fromiter(
-                    (hash_str64(tok) for tok in toks), dtype=np.uint64, count=len(toks)
-                )
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
-                votes = (2 * bits - 1).sum(axis=0)
-                sh = np.uint64(0)
-                for i in np.nonzero(votes > 0)[0]:
-                    sh |= np.uint64(1) << np.uint64(i)
-                out.append(int(sh.astype(np.int64)))  # two's-complement long
+            th_per_doc = _token_hashes(pdf[text_col])
+            lens = np.fromiter((len(t) for t in th_per_doc), dtype=np.int64, count=len(th_per_doc))
+            out = np.zeros(len(pdf), dtype=np.int64)
+            nz = np.nonzero(lens > 0)[0]
+            if len(nz):
+                flat = np.concatenate([th_per_doc[i] for i in nz])
+                bits = ((flat[:, None] >> bitpos[None, :]) & np.uint64(1)).astype(np.int8)
+                offsets = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=offsets[1:])
+                ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+                votes = 2 * ones - lens[nz][:, None]  # ones - zeros
+                sh = ((votes > 0) * weights[None, :]).sum(axis=1, dtype=np.uint64)
+                out[nz] = sh.view(np.int64)  # two's-complement long
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     schema = T.StructType(
@@ -267,11 +362,13 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Candidates via 4 × 16-bit bands (pigeonhole: ≤3 differing bits can't
-    touch all 4 bands), verified with an exact popcount.
+    touch all 4 bands), verified with an exact popcount. Oversized
+    bucket guard as in the minhash path.
     """
     sigs = simhash_signatures(df, text_col, id_col)
     bands = sigs.select(
@@ -286,21 +383,8 @@ def simhash_dedup_pairs(
             )
         ).alias("band", "chunk"),
     )
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col("l.simhash").alias("sh_a"),
-            F.col("r.simhash").alias("sh_b"),
-        )
-        .distinct()
+    cand = _capped_self_join_pairs(
+        bands, ["band", "chunk"], id_col, max_bucket_size, carry={"sh": "simhash"}
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
@@ -362,11 +446,18 @@ def embedding_dup_pairs_lsh(
     n_tables: int = 4,
     dim: int | None = None,
     seed: int = 42,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets (n_tables independent
-    sign-signatures) → bucket self-join → exact cosine verify. Recall is
-    probabilistic per table and boosted by table count; precision is
-    exact (verify stage)."""
+    sign-signatures) → bucket self-join on IDs ONLY → exact cosine
+    verify. Recall is probabilistic per table and boosted by table
+    count; precision is exact (verify stage).
+
+    The candidate join and its distinct carry only (id, bucket) — the
+    full vectors are re-joined AFTER dedup of the pair list, so the
+    bucket shuffle moves 16 bytes/row instead of the whole embedding.
+    Oversized bucket guard as in the minhash path.
+    """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -377,34 +468,23 @@ def embedding_dup_pairs_lsh(
     def bucket_ids(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (n, dim)
         p = bc.value
-        out = []
         signs = np.einsum("nd,tpd->ntp", mat, p) > 0  # (n, tables, planes)
         weights = 1 << np.arange(n_planes, dtype=np.int64)
         codes = (signs * weights[None, None, :]).sum(axis=2)  # (n, tables)
-        for row in codes:
-            out.append([int(t * (1 << n_planes) + c) for t, c in enumerate(row)])
-        return pd.Series(out)
+        table_base = (np.arange(p.shape[0], dtype=np.int64) << n_planes)[None, :]
+        return pd.Series(list(codes + table_base))
 
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), F.explode(bucket_ids(F.col(vec_col))).alias("bucket")
+        F.col(id_col), F.explode(bucket_ids(F.col(vec_col))).alias("bucket")
     )
-    l, r = bucketed.alias("l"), bucketed.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.col(f"l.{vec_col}").alias("va"),
-            F.col(f"r.{vec_col}").alias("vb"),
-        )
-        .distinct()
+    cand = _capped_self_join_pairs(bucketed, ["bucket"], id_col, max_bucket_size)
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    enriched = (
+        cand.join(vecs.withColumnsRenamed({id_col: "id_a", vec_col: "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({id_col: "id_b", vec_col: "vb"}), "id_b")
     )
     return (
-        cand.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        enriched.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -82,6 +82,81 @@ def test_simhash_near_dups(spark, docs):
     assert ham[("d0_exact", "d0_orig")] == 0
 
 
+def test_signature_golden_pin(spark):
+    """Pin the vectorized signature values: any refactor of the hashing
+    (token hash, shingle combine, mix, seed derivation) that silently
+    changes signatures breaks incremental dedup over previously-signed
+    corpora — so the exact values are frozen here."""
+    from crawleria_spark.operators.dedup import minhash_signatures, simhash_signatures
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", ""),
+            ("c", "one two"),
+        ],
+        "doc_id string, text string",
+    )
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(df, n_hashes=8, shingle_k=3, seed=42).collect()
+    }
+    assert sigs["a"] == [
+        3330337336711895007, 59685267270146066, 5138233968851427489,
+        407655207751419892, 4253822807142410600, 2875727747131800782,
+        694053127008693999, 1732592919824026023,
+    ]
+    assert sigs["b"] == [0] * 8  # empty doc → zero signature
+    assert sigs["c"][0] == 8584496848924314615  # short doc: one whole-doc shingle
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert sh == {"a": -1694217102517104280, "b": 0, "c": 226096202851623621}
+
+
+def test_degenerate_bucket_guard(spark):
+    """A boilerplate-heavy corpus (90% identical docs) must produce a
+    BOUNDED candidate count — O(B) star pairs for the hot bucket, not
+    B² — while non-degenerate near-dup pairs are still found."""
+    from crawleria_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
+    rows = [(f"b{i:03d}", boiler) for i in range(180)]
+    # one genuine near-dup pair outside the boilerplate class (one token
+    # changed in 20 → shingle-jaccard ≈ 0.82, firmly above the S-curve knee)
+    base = (
+        "spark shuffles partition data across executors by key hash while "
+        "the scheduler assigns tasks to free cores and tracks shuffle files"
+    )
+    rows.append(("x_orig", base))
+    rows.append(("x_near", base.replace("executors", "workers")))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = minhash_signatures(docs, n_hashes=64, shingle_k=2)
+    cand = minhash_lsh_candidates(sigs, bands=16, max_bucket_size=32).collect()
+    # unguarded: 180 identical docs × 16 bands → C(180,2)=16110 pairs.
+    # star guard: ≤ 179 pairs for the class + the near-dup pair.
+    boiler_pairs = [r for r in cand if r["id_a"].startswith("b")]
+    assert len(boiler_pairs) <= 180
+    # star center = min id, so the class stays one connected component
+    assert all(r["id_a"] == "b000" for r in boiler_pairs)
+    assert {r["id_b"] for r in boiler_pairs} == {f"b{i:03d}" for i in range(1, 180)}
+    # the non-degenerate pair survives the guard
+    assert any({r["id_a"], r["id_b"]} == {"x_orig", "x_near"} for r in cand)
+
+
+def test_simhash_bucket_guard(spark):
+    """Same guard on the simhash band join: identical docs collapse to a
+    star, hamming verify still exact."""
+    from crawleria_spark.operators.dedup import simhash_dedup_pairs
+
+    rows = [(f"b{i:03d}", "identical boilerplate page text here") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = simhash_dedup_pairs(docs, max_hamming=3, max_bucket_size=16).collect()
+    assert 0 < len(pairs) <= 99
+    assert all(r["id_a"] == "b000" and r["hamming"] == 0 for r in pairs)
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.default_rng(1)
