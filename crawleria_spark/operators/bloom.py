@@ -15,9 +15,13 @@ a slightly larger confirm join. Property-tested in tests/test_bloom.py.
 
 Representation: one bloom per hash bucket ``pmod(url_hash, n_buckets)``
 stored as rows ``(partition int, bloom binary, n_items long)`` — the
-FIXTURES.md §4 shape. Blooms are OR-able, so each round builds a bloom
-over the round's delta only and merges byte-wise with the previous
-round's (O(delta) work, like every other append in the engine).
+FIXTURES.md §4 shape. Blooms are OR-able, so each round APPENDS a bloom
+over the round's delta only (O(delta) commit IO, like every other append
+in the engine — a merge-and-rewrite of the cumulative bloom each round
+was measured at 8-23 s on the 2M-URL bench round); ``bloom_split`` ORs
+the accumulated delta rows per bucket at probe time, driver-side, where
+the whole table is n_buckets × m/8 bytes anyway. Long crawls compact the
+table with ``merge_blooms`` when the delta-directory count grows.
 
 All build/probe math is vectorized numpy over Arrow batches (no per-row
 Python): k indexes per key via double hashing
@@ -103,8 +107,11 @@ def build_bloom(
     return bucketed.groupBy("__bucket").applyInPandas(build, schema=BLOOM_SCHEMA)
 
 
-def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Byte-wise OR per partition (blooms must share m — same config)."""
+def compact_blooms(df: DataFrame) -> DataFrame:
+    """Byte-wise OR all rows per partition into one (blooms must share m).
+
+    Used to compact an append-table of per-round delta blooms when its
+    directory count grows (the per-round commit itself never rewrites)."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc: np.ndarray | None = None
@@ -117,7 +124,12 @@ def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
             {"partition": [int(pdf["partition"].iloc[0])], "bloom": [acc.tobytes()], "n_items": [n]}
         )
 
-    return a.unionByName(b).groupBy("partition").applyInPandas(merge, schema=BLOOM_SCHEMA)
+    return df.groupBy("partition").applyInPandas(merge, schema=BLOOM_SCHEMA)
+
+
+def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Byte-wise OR per partition of two bloom tables."""
+    return compact_blooms(a.unionByName(b))
 
 
 def bloom_split(
@@ -135,7 +147,15 @@ def bloom_split(
     vectorized pandas UDF.
     """
     m, k = bloom_params(capacity_per_bucket, fpp)
-    blobs = {int(r["partition"]): r["bloom"] for r in bloom_df.collect()}
+    # The bloom table is an APPEND table of per-round delta blooms —
+    # OR the accumulated rows per bucket here (driver-side, bounded by
+    # n_buckets × m/8 bytes regardless of round count).
+    acc: dict[int, np.ndarray] = {}
+    for r in bloom_df.collect():
+        p = int(r["partition"])
+        arr = np.frombuffer(r["bloom"], dtype=np.uint8)
+        acc[p] = arr.copy() if p not in acc else (acc[p] | arr)
+    blobs = {p: a.tobytes() for p, a in acc.items()}
     sc = pending.sparkSession.sparkContext
     bc = sc.broadcast(blobs)
 

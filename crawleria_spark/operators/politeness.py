@@ -41,6 +41,7 @@ def salted_host_rank(
     order_cols: list[str],
     col_name: str = "host_rank",
     num_partitions: int | None = None,
+    registry: list | None = None,
 ) -> DataFrame:
     """0-based rank within host, skew-safe (no single-task hot host).
 
@@ -48,11 +49,17 @@ def salted_host_rank(
     counts → per-host running offsets (collected — bounded by
     n_partitions × n_hosts_spanning_boundaries, tiny in practice);
     partition-local row_number + offset.
+
+    ``registry`` collects the persisted intermediate for caller-side
+    unpersist (it must stay cached between the count and rank passes —
+    see ordinal.with_dense_ordinal for the executor-loss caveat).
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     keys = [F.col(host_col)] + [F.col(c) for c in order_cols]
     ranged = df.repartitionByRange(n, *keys).withColumn("__pid", F.spark_partition_id())
     ranged = ranged.persist()
+    if registry is not None:
+        registry.append(ranged)
     counts = (
         ranged.groupBy("__pid", host_col).agg(F.count("*").alias("cnt")).collect()
     )

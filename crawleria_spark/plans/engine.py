@@ -333,10 +333,19 @@ class CrawlEngine:
         # second salted-rank pass (2 shuffles + a driver collect) per round.
         from crawleria_spark.operators.politeness import per_host_rank, salted_host_rank
 
-        rank_fn = salted_host_rank if self.skew_safe else per_host_rank
-        ranked = rank_fn(
-            fetchable, "host", ["priority", "url_canon"], col_name="politeness_slot"
-        ).persist()
+        round_persists: list = []  # intermediates to release post-commit
+        if self.skew_safe:
+            ranked = salted_host_rank(
+                fetchable,
+                "host",
+                ["priority", "url_canon"],
+                col_name="politeness_slot",
+                registry=round_persists,
+            ).persist()
+        else:
+            ranked = per_host_rank(
+                fetchable, "host", ["priority", "url_canon"], col_name="politeness_slot"
+            ).persist()
         kept = ranked.filter(F.col("politeness_slot") < cfg.max_concurrent_per_host)
         deferred_cap = ranked.filter(
             F.col("politeness_slot") >= cfg.max_concurrent_per_host
@@ -356,7 +365,8 @@ class CrawlEngine:
             n_kept = kept.count()
             if n_kept > remaining:
                 to_fetch, deferred_budget = global_limit_by(
-                    kept, ["priority", "url_canon"], remaining
+                    kept, ["priority", "url_canon"], remaining,
+                    registry=round_persists,
                 )
             else:
                 to_fetch, deferred_budget = kept, None
@@ -394,10 +404,8 @@ class CrawlEngine:
                     "fetched_total": fetched_total,
                 },
             )
-            alive.unpersist()
-            decided.unpersist()
-            kept.unpersist()
-            ranked.unpersist()
+            for df in (alive, decided, kept, ranked, *round_persists):
+                df.unpersist()
             return {"round": rnd, "n_fetched": 0, "n_pending": -1, "stopped": True}
 
         # 6. cumulative per-host sequence (politeness_slot already assigned);
@@ -485,7 +493,8 @@ class CrawlEngine:
             "host", F.lower(url_host_udf("url"))
         )
         cand = self._domain_filter(cand).persist()
-        n_cand = cand.count()
+        round_persists.append(cand)  # `cand` is rebound below — track the
+        n_cand = cand.count()        # persisted plan itself for release
         _tick("fetch + discovery count")
         if n_cand > 0:
             cand = with_dense_ordinal(
@@ -493,6 +502,7 @@ class CrawlEngine:
                 ["parent_priority", "link_offset"],
                 col_name="__ord",
                 start=next_priority,
+                registry=round_persists,
             )
             new_rows = cand.select(
                 "url",
@@ -555,28 +565,31 @@ class CrawlEngine:
 
         fetched_total += n_fetch_rows
         _tick("pre-commit")
-        replace_tables = {"frontier": new_frontier}
+        append_tables = {
+            "documents": docs,
+            "fetch_log": fetch_log_new,
+            "seen": seen_new,
+            "host_seq": host_seq_delta,
+            "metrics": metrics_df,
+        }
         if self.use_bloom:
-            from crawleria_spark.operators.bloom import build_bloom, merge_blooms
+            from crawleria_spark.operators.bloom import build_bloom
 
-            delta_bloom = build_bloom(
+            # APPEND the round-delta bloom only — blooms are OR-able and
+            # bloom_split ORs the accumulated rows per bucket at probe time
+            # (driver-side, where the whole table is n_buckets × m/8 bytes).
+            # The previous merge-and-REWRITE of the cumulative bloom cost
+            # 8-23 s per round on the 2M-URL bench; this is O(delta) like
+            # every other append. crawl() compacts when directories pile up.
+            append_tables["seen_bloom"] = build_bloom(
                 seen_new.select("url_hash"),
                 n_buckets=cfg.frontier_partitions,
                 capacity_per_bucket=cfg.bloom_capacity_per_partition,
                 fpp=cfg.bloom_fpp,
             )
-            replace_tables["seen_bloom"] = (
-                merge_blooms(bloom_df, delta_bloom) if bloom_df is not None else delta_bloom
-            )
         self.catalog.commit(
-            replace=replace_tables,
-            append={
-                "documents": docs,
-                "fetch_log": fetch_log_new,
-                "seen": seen_new,
-                "host_seq": host_seq_delta,
-                "metrics": metrics_df,
-            },
+            replace={"frontier": new_frontier},
+            append=append_tables,
             meta={
                 "round": rnd,
                 "next_priority": next_priority,
@@ -586,7 +599,7 @@ class CrawlEngine:
         _tick("commit (all writes)")
         n_pending = self.catalog.read("frontier").count()
         _tick("pending count")
-        for df in (alive, decided, ranked, kept, fetched, cand):
+        for df in (alive, decided, ranked, kept, fetched, *round_persists):
             df.unpersist()
         return {
             "round": rnd,
@@ -653,4 +666,15 @@ class CrawlEngine:
             for table in ("seen", "host_seq"):
                 if self.catalog.n_dirs(table) > 64:
                     self.catalog.compact(table)
+            # the bloom append-table also merges rows per bucket when
+            # compacted, so probe-time OR cost stays bounded too
+            if self.use_bloom and self.catalog.n_dirs("seen_bloom") > 64:
+                from crawleria_spark.operators.bloom import compact_blooms
+
+                self.catalog.commit(
+                    replace={
+                        "seen_bloom": compact_blooms(self.catalog.read("seen_bloom"))
+                    },
+                    meta=self.catalog.latest_meta(),
+                )
         return stats

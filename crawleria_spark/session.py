@@ -33,6 +33,16 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else "")
         )
+    # Ephemeral shuffle/spill files go to tmpfs when available. On a real
+    # cluster spark.local.dir is per-executor local NVMe that scales WITH
+    # the executor count; this sandbox has ONE ~311 MB/s disk shared by
+    # all 32 threads (and other tenants), which otherwise serializes every
+    # shuffle regardless of parallelism. Durable outputs (parquet tables,
+    # snapshot manifests) still go to the real filesystem.
+    local_dir = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/crawleria_spark_local"
+        os.makedirs(local_dir, exist_ok=True)
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -60,6 +70,8 @@ def get_spark(
         # join skips both sorts (measured ~12% round wall)
         .config("spark.sql.join.preferSortMergeJoin", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
