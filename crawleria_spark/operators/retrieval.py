@@ -120,15 +120,23 @@ class Retriever:
 
     def format_for_llm(self, results: DataFrame, spans: DataFrame) -> dict:
         """Driver-side sink (reference context dict): cap media at 4,
-        summarize spans per kind with counts + first-5 text sample."""
+        summarize spans per kind with counts + first-5 text sample, and
+        attach per-result ``visual_elements`` (span-order {type, text})
+        so ``assemble_model_input`` / ``visual_elements_prompt`` can
+        build the reference's model input without another Spark pass."""
         capped = head_cap(results, 4).collect()
-        summary = (
-            spans.join(
-                results.select(self.id_col), self.id_col
-            )
+        per_doc = (
+            spans.join(results.select(self.id_col), self.id_col)
             .select(self.id_col, F.explode("spans").alias("s"))
-            .select(self.id_col, F.col("s.kind").alias("kind"), F.col("s.text").alias("text"))
-            .groupBy("kind")
+            .select(
+                self.id_col,
+                F.col("s.kind").alias("kind"),
+                F.col("s.text").alias("text"),
+                F.col("s.offset").alias("offset"),
+            )
+        ).persist()
+        summary = (
+            per_doc.groupBy("kind")
             .agg(
                 F.count("*").alias("n"),
                 F.slice(
@@ -137,10 +145,102 @@ class Retriever:
             )
             .collect()
         )
+        elements = (
+            per_doc.groupBy(self.id_col)
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("offset", "kind", "text"))
+                ).alias("els")
+            )
+            .collect()
+        )
+        per_doc.unpersist()
+        by_id = {
+            r[self.id_col]: [
+                {"type": e["kind"], "text": e["text"]} for e in r["els"]
+            ]
+            for r in elements
+        }
+        out_results = []
+        for r in capped:
+            d = r.asDict()
+            d["visual_elements"] = by_id.get(d[self.id_col], [])
+            out_results.append(d)
         return {
-            "results": [r.asDict() for r in capped],
+            "results": out_results,
             "element_summary": {
                 r["kind"]: {"count": r["n"], "sample": r["sample_texts"]}
                 for r in summary
             },
         }
+
+
+def assemble_model_input(
+    query: str,
+    context: dict,
+    image_key: str = "media_content",
+    max_images: int = 4,
+) -> dict:
+    """Messages-assembly twin of the reference's ``_prepare_model_input``
+    (src/response_generator/generator.py:72-125), WITHOUT the model call:
+
+    - collect image payloads from context["results"] in rank order,
+    - cap at 4 BEFORE encoding (model constraint, :101-102), skipping
+      results whose payload is missing or fails to encode (:104-110),
+    - no images (or none encodable) → text-only input (:94-98, :112-117),
+    - else {"text": "USER: <query>\\nASSISTANT:", "images": [b64, ...]}.
+
+    ``image_key`` holds raw bytes (the media enrichment join's payload
+    column); the reference holds file paths and reads them — same shape
+    either way: opaque blob → base64 string.
+    """
+    import base64
+
+    blobs = [
+        r.get(image_key)
+        for r in context.get("results", [])
+        if r.get(image_key) is not None
+    ]
+    text = f"USER: {query}\nASSISTANT:"
+    if not blobs:
+        return {"text": text}
+    encoded = []
+    for blob in blobs[:max_images]:
+        try:
+            encoded.append(base64.b64encode(bytes(blob)).decode("ascii"))
+        except Exception:
+            continue  # reference logs and skips the unencodable image
+    if not encoded:
+        return {"text": text}
+    return {"text": text, "images": encoded}
+
+
+def visual_elements_prompt(query: str, context: dict) -> str:
+    """Twin of the reference's ``_prepare_prompt_with_visual_elements``
+    (src/response_generator/generator.py:127-171): per-result grouping
+    of visual elements by type, counts, up to 5 text samples per textual
+    type with an "...and N more" overflow line, framed by the query."""
+    parts = [
+        "I'll describe the visual content I'm looking at to answer "
+        f'your question: "{query}"'
+    ]
+    for i, result in enumerate(context.get("results", [])):
+        elements = result.get("visual_elements") or []
+        if not elements:
+            continue
+        parts.append(f"\nIn result {i + 1}, I can see:")
+        by_type: dict[str, list[dict]] = {}
+        for el in elements:
+            by_type.setdefault(el.get("type", "unknown"), []).append(el)
+        for el_type, els in by_type.items():
+            parts.append(f"- {len(els)} {el_type}s")
+            if el_type in ("heading", "paragraph", "link", "button"):
+                texts = [e.get("text") for e in els if e.get("text")]
+                if texts:
+                    parts.append(
+                        f"  Text content includes: {', '.join(texts[:5])}"
+                    )
+                    if len(texts) > 5:
+                        parts.append(f"  ...and {len(texts) - 5} more")
+    parts.append(f"\nNow, to answer your question about: {query}")
+    return "\n".join(parts)

@@ -134,7 +134,27 @@ class SnapshotCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, self._manifest_path(version))  # atomic publish
+        # Publish append-table delta dirs for streaming readers STRICTLY
+        # AFTER the manifest rename: a file-source stream tails
+        # <root>/published/<table>/* and therefore can never ingest a
+        # directory whose commit did not complete (crash between
+        # _write_dir and the rename leaves an orphan dir that is never
+        # linked). Symlinks, so no data is copied.
+        for _mode, name, _df in jobs:
+            if _mode != "append":
+                continue
+            pub = os.path.join(self.root, "published", name)
+            os.makedirs(pub, exist_ok=True)
+            target = tables[name][-1]
+            link = os.path.join(pub, os.path.basename(target))
+            if not os.path.lexists(link):
+                os.symlink(target, link)
         return version
+
+    def published_path(self, table: str) -> str:
+        """Glob root for streaming readers: contains symlinks to exactly
+        the COMMITTED delta directories of an append table."""
+        return os.path.join(self.root, "published", table)
 
     def n_dirs(self, table: str) -> int:
         m = self.latest_manifest()
@@ -164,3 +184,13 @@ class SnapshotCatalog:
                     if d not in live and os.path.exists(d):
                         shutil.rmtree(d, ignore_errors=True)
             os.remove(self._manifest_path(v))
+        # prune published symlinks whose targets gc just removed — a
+        # dangling link would break the streaming source's file listing
+        pub_root = os.path.join(self.root, "published")
+        if os.path.isdir(pub_root):
+            for table in os.listdir(pub_root):
+                tdir = os.path.join(pub_root, table)
+                for link in os.listdir(tdir):
+                    p = os.path.join(tdir, link)
+                    if os.path.islink(p) and not os.path.exists(p):
+                        os.remove(p)

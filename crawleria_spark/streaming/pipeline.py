@@ -30,16 +30,20 @@ def read_fetch_log_stream(
 
 
 def stream_crawl_fetch_log(spark: SparkSession, catalog_root: str) -> DataFrame:
-    """Stream the CrawlEngine's fetch_log as rounds commit: the snapshot
-    catalog appends one parquet directory per round under
-    `<root>/fetch_log/v*/`, which a file-source glob tails exactly-once —
-    live crawl telemetry without re-reading history."""
+    """Stream the CrawlEngine's fetch_log as rounds commit.
+
+    Tails `<root>/published/fetch_log/*` — symlinks the snapshot catalog
+    creates strictly AFTER each manifest rename — so the stream observes
+    the catalog's all-or-nothing visibility contract: a parquet directory
+    from a commit that crashed before publishing (or is still being
+    written) is never linked and never ingested. Each committed round's
+    directory is discovered exactly once (file-source tracking)."""
     from crawleria_spark.plans.engine import FETCH_LOG_SCHEMA
 
     return (
         spark.readStream.schema(FETCH_LOG_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
-        .parquet(f"{catalog_root}/fetch_log/*")
+        .parquet(f"{catalog_root}/published/fetch_log/*")
     )
 
 

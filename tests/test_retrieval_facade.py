@@ -91,3 +91,92 @@ def test_text_overlap_score_semantics(spark):
     out = df.select(text_overlap_score(F.col("text"), "a b").alias("s")).collect()
     assert abs(out[0]["s"] - 2 / 3) < 1e-9
     assert out[1]["s"] == 0.0
+
+
+def test_assemble_model_input_golden():
+    """Messages-assembly twin vs a golden context dict (reference
+    _prepare_model_input, generator.py:72-125)."""
+    import base64
+
+    from crawleria_spark.operators.retrieval import assemble_model_input
+
+    ctx = {
+        "results": [
+            {"doc_id": "d1", "media_content": b"img-1"},
+            {"doc_id": "d2", "media_content": None},   # missing → skipped
+            {"doc_id": "d3", "media_content": b"img-3"},
+            {"doc_id": "d4", "media_content": b"img-4"},
+            {"doc_id": "d5", "media_content": b"img-5"},
+            {"doc_id": "d6", "media_content": b"img-6"},  # beyond cap
+        ]
+    }
+    out = assemble_model_input("what is this?", ctx)
+    assert out["text"] == "USER: what is this?\nASSISTANT:"
+    # cap at 4 applies AFTER dropping missing payloads, BEFORE encoding
+    assert out["images"] == [
+        base64.b64encode(b).decode() for b in (b"img-1", b"img-3", b"img-4", b"img-5")
+    ]
+    # no images → text-only mode (no "images" key at all)
+    assert assemble_model_input("q", {"results": [{"doc_id": "d"}]}) == {
+        "text": "USER: q\nASSISTANT:"
+    }
+
+
+def test_visual_elements_prompt_golden():
+    from crawleria_spark.operators.retrieval import visual_elements_prompt
+
+    ctx = {
+        "results": [
+            {
+                "doc_id": "d1",
+                "visual_elements": [
+                    {"type": "heading", "text": "Welcome"},
+                    {"type": "link", "text": "a"},
+                    {"type": "link", "text": "b"},
+                    {"type": "link", "text": "c"},
+                    {"type": "link", "text": "d"},
+                    {"type": "link", "text": "e"},
+                    {"type": "link", "text": "f"},
+                    {"type": "image", "text": None},
+                ],
+            },
+            {"doc_id": "d2", "visual_elements": []},  # skipped entirely
+        ]
+    }
+    prompt = visual_elements_prompt("find the docs page", ctx)
+    assert prompt == "\n".join(
+        [
+            "I'll describe the visual content I'm looking at to answer "
+            'your question: "find the docs page"',
+            "\nIn result 1, I can see:",
+            "- 1 headings",
+            "  Text content includes: Welcome",
+            "- 6 links",
+            "  Text content includes: a, b, c, d, e",
+            "  ...and 1 more",
+            "- 1 images",
+            "\nNow, to answer your question about: find the docs page",
+        ]
+    )
+
+
+def test_format_for_llm_visual_elements(spark, corpus):
+    """format_for_llm attaches per-result span-order visual_elements."""
+    from crawleria_spark.operators.retrieval import visual_elements_prompt
+
+    spans = spark.createDataFrame(
+        [
+            ("d1", [{"kind": "heading", "text": "t1", "media_ref": None, "offset": 0},
+                     {"kind": "link", "text": "t2", "media_ref": "u", "offset": 1}]),
+        ],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    r = Retriever(corpus, config=CrawlConfig(top_k=5, similarity_threshold=0.2))
+    results = r.retrieve(query_text="spark crawl frontier fetch queue")
+    ctx = r.format_for_llm(results, spans)
+    d1 = next(x for x in ctx["results"] if x["doc_id"] == "d1")
+    assert d1["visual_elements"] == [
+        {"type": "heading", "text": "t1"},
+        {"type": "link", "text": "t2"},
+    ]
+    assert "In result" in visual_elements_prompt("q", ctx)
