@@ -195,12 +195,14 @@ def q_round_dequeue(spark, sf_dir):
 
 def q_url_canonical_doc_id(spark, sf_dir):
     """P2: reference get_clean_filename parity incl. the >100-char md5
-    branch (src/utils.py:38-60), over URLs derived from `documents`."""
-    from crawleria_spark.functions.urls import doc_id_udf
+    branch (src/utils.py:38-60), over URLs derived from `documents`.
+    Whole JVM expression (regexp/concat/md5 in codegen) — parity with
+    the scalar urllib twin is pinned in tests/test_urls.py."""
+    from crawleria_spark.functions.urls import doc_id_expr
 
     docs = _t(spark, sf_dir, "documents").withColumn("url", F.expr(_SEG_URL))
     return docs.select(
-        F.col("doc_id").alias("in_id"), doc_id_udf("url").alias("url_doc_id")
+        F.col("doc_id").alias("in_id"), doc_id_expr("url").alias("url_doc_id")
     )
 
 
@@ -871,5 +873,33 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_errors,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1
+        """,
+        # Brute-force 2-word-shingle Jaccard over all pairs — a valid
+        # oracle for the LSH pipeline because on this slice every true
+        # pair sits far above the 0.4 threshold (0.95+; next candidate
+        # 0.12), where banded-minhash recall is exactly 1 for the pinned
+        # seed. Verified equal to the Spark pipeline's verified pairs.
+        "q_minhash_dup_pairs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(trim(text)), ' '), x -> x <> '') AS ws
+              FROM documents WHERE doc_id < 200
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []
+                          WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws)),
+                                                            i -> ws[i] || ' ' || ws[i+1]))
+                     END AS shingles
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                     (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, round(j, 6) AS jaccard
+            FROM pairs WHERE j >= 0.4
         """,
     }

@@ -155,6 +155,66 @@ def url_host_udf(urls: pd.Series) -> pd.Series:
     return host_series(urls)
 
 
+def _group(url: Column, idx: int) -> Column:
+    """RFC 3986 appendix-B group extraction, JVM-side. A group that does
+    not participate extracts as '' — same as the pandas fillna('')."""
+    return F.regexp_extract(url, _URL_RE, idx)
+
+
+def host_expr(url: Column | str) -> Column:
+    """JVM twin of host_series: the raw authority (netloc) component."""
+    col = F.col(url) if isinstance(url, str) else url
+    return _group(col, 2)
+
+
+def doc_id_expr(url: Column | str) -> Column:
+    """JVM twin of clean_filename_series (reference get_clean_filename,
+    src/utils.py:38-60) — byte-parity pinned in tests/test_urls.py.
+
+    Whole-stage-codegen'd regexp/concat/md5: the canonical doc_id no
+    longer needs a Python crossing (it was the largest Arrow-UDF wall in
+    the headline bench)."""
+    col = F.col(url) if isinstance(url, str) else url
+    domain = _group(col, 2)
+    clean_path = F.regexp_replace(
+        F.regexp_replace(_group(col, 3), "/", "_"), "^_+|_+$", ""
+    )
+    clean_path = F.when(clean_path == "", "home").otherwise(clean_path)
+    name = F.concat(domain, F.lit("_"), clean_path)
+    hashed = F.concat(domain, F.lit("_"), F.substring(F.md5(clean_path), 1, 10))
+    return F.when(F.length(name) > 100, hashed).otherwise(name)
+
+
+def url_canon_expr(url: Column | str) -> Column:
+    """JVM twin of canonicalize_series (the seen-set key): lowercase
+    scheme+host, strip default port, path '' → '/', strip trailing
+    slashes on non-root paths, keep query, drop fragment. Runs on every
+    discovered link each round — keeping it inside codegen instead of an
+    Arrow UDF removes the crawl loop's biggest Python crossing."""
+    col = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(_group(col, 1))
+    netloc = F.lower(_group(col, 2))
+    netloc = (
+        F.when(
+            (scheme == "http") & netloc.endswith(":80"),
+            netloc.substr(F.lit(1), F.length(netloc) - 3),
+        )
+        .when(
+            (scheme == "https") & netloc.endswith(":443"),
+            netloc.substr(F.lit(1), F.length(netloc) - 4),
+        )
+        .otherwise(netloc)
+    )
+    path = _group(col, 3)
+    path = F.when(path == "", "/").otherwise(path)
+    stripped = F.regexp_replace(path, "/+$", "")
+    stripped = F.when(stripped == "", "/").otherwise(stripped)
+    path = F.when((F.length(path) > 1) & path.endswith("/"), stripped).otherwise(path)
+    out = F.concat(scheme, F.lit("://"), netloc, path)
+    query = _group(col, 4)
+    return F.when(query != "", F.concat(out, F.lit("?"), query)).otherwise(out)
+
+
 def url_hash_col(url_canon: Column | str) -> Column:
     """64-bit seen-set hash of the canonical URL.
 

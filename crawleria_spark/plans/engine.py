@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from crawleria_spark.config import CrawlConfig
-from crawleria_spark.functions.urls import url_canon_udf, url_host_udf
+from crawleria_spark.functions.urls import host_expr, url_canon_expr
 from crawleria_spark.operators.ordinal import global_limit_by, with_dense_ordinal
 from crawleria_spark.plans.snapshot import SnapshotCatalog
 from crawleria_spark.sources.fetch import SPAN_SCHEMA, fetch_stage
@@ -489,8 +489,11 @@ class CrawlEngine:
             (F.col("depth") + 1).alias("depth"),
             F.posexplode("links").alias("link_offset", "url"),
         )
-        cand = cand.withColumn("url_canon", url_canon_udf("url")).withColumn(
-            "host", F.lower(url_host_udf("url"))
+        # JVM expression canonicalization (regexp in whole-stage codegen):
+        # this runs on EVERY discovered link each round — as an Arrow UDF
+        # it was the crawl loop's largest Python crossing
+        cand = cand.withColumn("url_canon", url_canon_expr("url")).withColumn(
+            "host", F.lower(host_expr("url"))
         )
         cand = self._domain_filter(cand).persist()
         round_persists.append(cand)  # `cand` is rebound below — track the

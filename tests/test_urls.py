@@ -137,3 +137,34 @@ def test_property_vectorized_matches_urllib(url_list):
     assert clean_filename_series(s).tolist() == [clean_filename(u) for u in url_list]
     assert canonicalize_series(s).tolist() == [canonicalize(u) for u in url_list]
     assert host_series(s).tolist() == [host_of(u) for u in url_list]
+
+
+def test_jvm_exprs_parity(spark):
+    """JVM Column twins (url_canon_expr / doc_id_expr / host_expr) are
+    byte-identical to the scalar urllib implementations — the crawl's
+    discovery path and the headline doc_id query run these inside
+    whole-stage codegen, so divergence would silently fork the seen set."""
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.functions.urls import doc_id_expr, host_expr, url_canon_expr
+
+    # ADVERSARIAL plus world-shaped URLs (variants, long paths)
+    from crawleria_spark.synthetic.world import WorldConfig, page_for_url
+
+    w = WorldConfig(seed=11, n_hosts=6, pages_per_host=40, dup_variant_prob=0.3,
+                    long_path_prob=0.2, error_rate=0.0)
+    urls = list(ADVERSARIAL)
+    for i in range(60):
+        urls.extend(page_for_url(f"https://h{i % 6}.example.org/p/{i}", w)["links"])
+    urls = sorted(set(urls))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        url_canon_expr("url").alias("canon"),
+        doc_id_expr("url").alias("doc_id"),
+        host_expr("url").alias("host"),
+    ).collect()
+    for r in rows:
+        assert r["canon"] == canonicalize(r["url"]), r["url"]
+        assert r["doc_id"] == clean_filename(r["url"]), r["url"]
+        assert r["host"] == host_of(r["url"]), r["url"]
