@@ -112,3 +112,42 @@ def test_stream_crawl_fetch_log(spark, tmp_path):
     eng.run_round()  # commit another round → new directory appears
     n2 = drain()
     assert n2 == eng.catalog.read("fetch_log").count() > n1
+
+
+def test_stream_never_sees_unpublished_commit(spark, tmp_path):
+    """All-or-nothing visibility for streams: a parquet delta directory
+    written WITHOUT a manifest publish (crash between _write_dir and the
+    rename) is never ingested; gc prunes dangling published links."""
+    import os
+
+    from crawleria_spark.plans.engine import FETCH_LOG_SCHEMA
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+    from crawleria_spark.streaming import stream_crawl_fetch_log
+
+    root = str(tmp_path / "cat")
+    cat = SnapshotCatalog(spark, root)
+    row = [("https://h/x", "h", 0, 0, 0, "ok", None)]
+    df = spark.createDataFrame(row, FETCH_LOG_SCHEMA)
+    cat.commit(append={"fetch_log": df})                 # committed round
+    cat._write_dir("fetch_log", df, version=999)         # orphan: no manifest
+
+    q = (
+        stream_crawl_fetch_log(spark, root)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1  # not 2
+
+    # gc after a superseding commit prunes any dangling published links
+    cat.commit(append={"fetch_log": df})
+    pub = cat.published_path("fetch_log")
+    n_links = len(os.listdir(pub))
+    cat.gc(keep_last=1)
+    remaining = os.listdir(pub)
+    assert all(os.path.exists(os.path.join(pub, l)) for l in remaining)
+    assert len(remaining) <= n_links
