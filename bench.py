@@ -151,7 +151,16 @@ def bench_crawl_round(spark, cores: int, use_bloom: bool = True, skew_safe: bool
     from crawleria_spark.sources.fetch import synthetic_fetcher
     from crawleria_spark.synthetic.world import WorldConfig
 
-    root = tempfile.mkdtemp(prefix="bench_crawl_")
+    # SPARK_GRAFT_BENCH_DIR=tmpfs puts the bench catalog on /dev/shm: the
+    # sandbox has ONE ~311 MB/s disk shared by every level (and external
+    # tenants), while a real cluster's table store (S3/HDFS) provisions
+    # bandwidth WITH the cluster — the disk-backed number measures the
+    # sandbox, the tmpfs-backed number the engine. BENCH/BASELINE.md
+    # reports both.
+    base_dir = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DIR") == "tmpfs" and os.path.isdir("/dev/shm"):
+        base_dir = "/dev/shm"
+    root = tempfile.mkdtemp(prefix="bench_crawl_", dir=base_dir)
     try:
         n_frontier = n_frontier or N_FRONTIER
         cfg = CrawlConfig(
@@ -213,18 +222,36 @@ def main_single() -> dict:
     }
 
 
-def crawl_only(cores: int, scaling: bool = False) -> dict:
+def crawl_only(level: int, scaling: bool = False) -> dict:
+    """``level`` is a thread count (default mode) or an executor count
+    (SPARK_GRAFT_SCALE_MODE=executors: local-cluster[level,4,mem] — real
+    separate executor JVMs, 4 cores each, the shape of adding cluster
+    nodes; a single local[N] JVM serializes N task threads behind one
+    GC, which is a sandbox artifact, not an engine property)."""
     from crawleria_spark.session import get_spark
 
+    executor_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE") == "executors"
     if scaling:
-        spark = get_spark(
-            f"bench_scale_{cores}", cores=cores, shuffle_partitions=FIXED_PARTITIONS
+        if executor_mode:
+            total_cores = 4 * level
+            spark = get_spark(
+                f"bench_scale_x{level}", cores=4, executors=level,
+                shuffle_partitions=FIXED_PARTITIONS,
+            )
+        else:
+            total_cores = level
+            spark = get_spark(
+                f"bench_scale_{level}", cores=level,
+                shuffle_partitions=FIXED_PARTITIONS,
+            )
+        out = bench_crawl_round(
+            spark, total_cores, n_frontier=SCALING_N, fixed_partitions=FIXED_PARTITIONS
         )
-        return bench_crawl_round(
-            spark, cores, n_frontier=SCALING_N, fixed_partitions=FIXED_PARTITIONS
-        )
-    spark = get_spark(f"bench_scale_{cores}", cores=cores)
-    return bench_crawl_round(spark, cores)
+        out["mode"] = "executors" if executor_mode else "threads"
+        out["level"] = level
+        return out
+    spark = get_spark(f"bench_scale_{level}", cores=level)
+    return bench_crawl_round(spark, level)
 
 
 def main_scaling() -> None:

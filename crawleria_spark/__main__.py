@@ -28,19 +28,38 @@ def _engine(args, spark):
     from crawleria_spark.sources.fetch import synthetic_fetcher
     from crawleria_spark.synthetic.world import WorldConfig, robots_rules
 
-    world = WorldConfig(seed=args.world_seed)
+    cookies: tuple[tuple[str, str], ...] = ()
+    if getattr(args, "cookies_file", None):
+        # reference cookies-file shape (src/crawler/crawler.py:45-57):
+        # JSON {host: cookie_header} delivered per-host by the fetcher
+        with open(args.cookies_file) as f:
+            cookies = tuple(sorted(json.load(f).items()))
     cfg = CrawlConfig(
         max_depth=args.depth,
         max_pages=args.max_pages,
         allowed_domains=tuple(args.allowed_domains or ()),
+        cookies=cookies,
     )
+    if getattr(args, "fetcher", "synthetic") == "http":
+        from crawleria_spark.sources.http import http_fetcher
+
+        fetcher = http_fetcher(
+            cfg, timeout_s=args.timeout,
+            proxy_to=getattr(args, "proxy_to", None),
+        )
+        robots: list[dict] = []  # live robots.txt handling is per-host
+        # config; the synthetic rules only make sense for the test world
+    else:
+        world = WorldConfig(seed=args.world_seed)
+        fetcher = synthetic_fetcher(world)
+        robots = robots_rules(world)
     catalog = SnapshotCatalog(spark, args.catalog)
     engine = CrawlEngine(
         spark,
         catalog,
         cfg,
-        synthetic_fetcher(world),
-        robots_rows=robots_rules(world),
+        fetcher,
+        robots_rows=robots,
         use_bloom=True,
         skew_safe=True,
     )
@@ -167,6 +186,12 @@ def main(argv=None) -> int:
     c.add_argument("--max-rounds", type=int, default=100)
     c.add_argument("--allowed-domains", nargs="*")
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--fetcher", choices=("synthetic", "http"), default="synthetic",
+                   help="http = real network fetch via sources/http.py")
+    c.add_argument("--cookies-file", help="JSON {host: cookie_header}")
+    c.add_argument("--timeout", type=float, default=10.0)
+    c.add_argument("--proxy-to", help="route requests to host:port, keeping "
+                   "the URL host in the Host header (fetch proxy / tests)")
 
     pr = sub.add_parser("process")
     pr.add_argument("--media-dir", required=True)

@@ -139,6 +139,7 @@ def bloom_split(
     n_buckets: int = 32,
     capacity_per_bucket: int = 1_000_000,
     fpp: float = 0.01,
+    registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(certainly-new rows, bloom-positive suspects).
 
@@ -174,7 +175,9 @@ def bloom_split(
         return pd.Series(out)
 
     flagged = pending.withColumn("__maybe_seen", maybe_seen(F.col(hash_col)))
-    flagged = flagged.persist()
+    flagged = flagged.persist()  # probed once, read by both splits
+    if registry is not None:
+        registry.append(flagged)
     certain_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     return certain_new, suspects
@@ -187,16 +190,20 @@ def anti_join_seen(
     n_buckets: int = 32,
     capacity_per_bucket: int = 1_000_000,
     fpp: float = 0.01,
+    registry: list | None = None,
 ) -> DataFrame:
     """frontier LEFT ANTI JOIN seen, with optional bloom pre-filter.
 
     With a bloom, the exact anti-join shuffle carries only the suspects;
     the result set is identical (no false negatives) either way.
+    ``registry`` collects the bloom split's persisted intermediate for
+    caller-side unpersist after the round.
     """
     if bloom_df is None:
         return pending.join(seen.select("url_canon"), "url_canon", "left_anti")
     certain_new, suspects = bloom_split(
-        pending, bloom_df, "url_hash", n_buckets, capacity_per_bucket, fpp
+        pending, bloom_df, "url_hash", n_buckets, capacity_per_bucket, fpp,
+        registry=registry,
     )
     confirmed = suspects.join(seen.select("url_canon"), "url_canon", "left_anti")
     return certain_new.unionByName(confirmed)

@@ -260,6 +260,7 @@ class CrawlEngine:
             if self.use_bloom and self.catalog.exists("seen_bloom")
             else None
         )
+        round_persists: list = []  # intermediates to release post-commit
         alive = anti_join_seen(
             pending,
             seen,
@@ -267,6 +268,7 @@ class CrawlEngine:
             n_buckets=cfg.frontier_partitions,
             capacity_per_bucket=cfg.bloom_capacity_per_partition,
             fpp=cfg.bloom_fpp,
+            registry=round_persists,
         )
         alive = alive.persist()
         n_alive = alive.count() if self.collect_stats else -1
@@ -333,7 +335,6 @@ class CrawlEngine:
         # second salted-rank pass (2 shuffles + a driver collect) per round.
         from crawleria_spark.operators.politeness import per_host_rank, salted_host_rank
 
-        round_persists: list = []  # intermediates to release post-commit
         if self.skew_safe:
             ranked = salted_host_rank(
                 fetchable,

@@ -64,3 +64,31 @@ def test_cli_metrics_and_interactive(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert json.loads(out[-1])["queries_answered"] == 1
+
+
+def test_cli_http_fetcher_crawl(spark, tmp_path):
+    """`crawl --fetcher http --proxy-to ...` drives the real HTTP path
+    end-to-end from the CLI (in-process server; cookies file honored)."""
+    import json as _json
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from crawleria_spark.__main__ import main
+    from tests.test_http_fetcher import _WorldHandler
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), _WorldHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    proxy = f"127.0.0.1:{server.server_address[1]}"
+    cookies_file = tmp_path / "cookies.json"
+    cookies_file.write_text(_json.dumps({"h2.example.org": "tok=42"}))
+
+    cat = str(tmp_path / "cat")
+    rc = main([
+        "--catalog", cat, "crawl", "https://h2.example.org/p/0",
+        "--fetcher", "http", "--proxy-to", proxy,
+        "--cookies-file", str(cookies_file),
+        "--depth", "1", "--max-pages", "8", "--max-rounds", "3",
+    ])
+    assert rc == 0
+    server.shutdown()
+    assert "tok=42" in _WorldHandler.cookies_seen.get("h2.example.org", set())
