@@ -94,6 +94,14 @@ def get_spark(
         # the local-cluster master string sets WORKER capacity only;
         # executors would otherwise run with the 1g default heap
         builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")
+        # every executor JVM on one box sees all physical cores and sizes
+        # its GC/JIT/netty pools for them — k executors each spawning
+        # 32-wide pools oversubscribe the machine (measured 2x round
+        # slowdown). On a real cluster the container runtime sets this.
+        builder = builder.config(
+            "spark.executor.extraJavaOptions",
+            f"-XX:ActiveProcessorCount={cores}",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
