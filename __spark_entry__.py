@@ -6,11 +6,15 @@ matching ``oracle_sql()`` entry is the ANSI-SQL twin DuckDB runs on the
 same tables. Column names and rounding are aligned on both sides so the
 driver's order-insensitive value-hash matches.
 
-Entries without an oracle (minhash/simhash LSH, ANN probing, multimodal
-plumbing, the crawl round itself) are genuinely non-SQL-expressible —
+Entries without an oracle (simhash/winnow signatures — pinned pandas
+siphash values; ANN probing — approximate BY DESIGN, a probe that
+equalled brute force would mean the probe filters nothing; multimodal
+plumbing; the crawl round itself) are genuinely non-SQL-expressible —
 the driver records a rows-only check for those; their exactness is
 covered by `python -m pytest -x -q` (oracle-crawler parity, brute-vs-LSH
-agreement, property tests).
+agreement, recall bounds, property tests). The minhash near-dup
+pipeline IS oracle-checked (r2): a DuckDB brute-force shingle-jaccard
+reproduces its verified pairs exactly on the graded slice.
 """
 
 from __future__ import annotations
