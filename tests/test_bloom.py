@@ -80,3 +80,39 @@ def test_engine_parity_with_bloom(spark, tmp_catalog_root):
     assert catalog.exists("seen_bloom")
     n_items = catalog.read("seen_bloom").agg(F.sum("n_items")).collect()[0][0]
     assert n_items == catalog.read("seen").count()
+
+
+def test_compact_blooms_equivalence(spark):
+    """compact_blooms merges an append-table of per-round delta blooms
+    into one row per bucket with the identical membership (probe results
+    unchanged) — the path crawl() takes when delta dirs pile up."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.operators.bloom import bloom_split, compact_blooms
+
+    deltas = []
+    for r in range(3):
+        df = spark.range(r * 1000, (r + 1) * 1000).select(
+            F.concat(F.lit("https://h/"), F.col("id")).alias("url_canon")
+        ).withColumn("url_hash", F.xxhash64("url_canon"))
+        deltas.append(build_bloom(df, n_buckets=8, capacity_per_bucket=10_000))
+    appended = deltas[0].unionByName(deltas[1]).unionByName(deltas[2])
+    compacted = compact_blooms(appended)
+    rows = compacted.collect()
+    assert len(rows) == 8  # one row per bucket
+    assert sum(r["n_items"] for r in rows) == 3000
+
+    probe = spark.range(0, 4000).select(
+        F.concat(F.lit("https://h/"), F.col("id")).alias("url_canon")
+    ).withColumn("url_hash", F.xxhash64("url_canon"))
+    for bloom_table in (appended, compacted):
+        certain_new, suspects = bloom_split(
+            probe, bloom_table, n_buckets=8, capacity_per_bucket=10_000
+        )
+        new_ids = {r["url_canon"] for r in certain_new.collect()}
+        # zero false negatives: every inserted key is a suspect
+        assert all(f"https://h/{i}" not in new_ids for i in range(3000))
+        # the never-inserted tail is mostly certain-new (fp-bounded)
+        tail_new = sum(1 for i in range(3000, 4000) if f"https://h/{i}" in new_ids)
+        assert tail_new > 900
