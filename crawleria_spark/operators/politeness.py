@@ -95,6 +95,68 @@ def salted_host_rank(
     ).drop("__pid")
 
 
+def bucketed_host_rank(
+    df: DataFrame,
+    host_col: str,
+    priority_col: str,
+    order_cols: list[str],
+    priority_bound: float,
+    col_name: str = "host_rank",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """0-based rank within host, skew-safe AND recompute-safe.
+
+    When the primary order key is a bounded global ordinal (the engine's
+    ``priority`` — dense ordinals < next_priority from the round meta),
+    the range bucket is a PURE EXPRESSION ``pid = floor(priority/width)``
+    instead of ``repartitionByRange``:
+
+    - no RangePartitioner sampling job (one driver job less per round);
+    - deterministic under recompute — a lost block re-derives the same
+      pid, so the count pass and the rank pass can never disagree (the
+      executor-loss caveat of the persist-pinned salted variant);
+    - pid is monotonic in priority, so per-host offsets accumulated in
+      pid order recompose exact global per-host ranks;
+    - a hot host still spans many buckets (buckets cut by priority, not
+      host) — same skew-safety as the salted variant;
+    - the count aggregate and the rank window share the (pid, host)
+      keys, so Catalyst reuses one exchange for both passes.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    width = max(1.0, float(priority_bound) / n)
+    pid = F.least(
+        F.lit(n - 1), F.floor(F.col(priority_col) / F.lit(width)).cast("int")
+    )
+    keyed = df.withColumn("__pid", pid)
+    # Per-host running offsets, computed DISTRIBUTIVELY: the counts
+    # aggregate is tiny (≤ buckets × hosts rows), its per-host prefix-sum
+    # window runs over that tiny frame, and only hosts that actually span
+    # a bucket boundary survive the __off > 0 filter (the long tail of
+    # hosts entirely inside one bucket drops out). Unlike the salted
+    # variant there is NO driver collect and NO literal offset map —
+    # with priority buckets every host may span every boundary, and a
+    # collected map would put buckets × hosts literals in the plan.
+    counts = keyed.groupBy("__pid", host_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = (
+        Window.partitionBy(host_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)))
+        .filter(F.col("__off") > 0)
+        .drop("__cnt")
+    )
+    # join keys match the rank window's partition keys → exchange reuse;
+    # Spark broadcasts the offsets side whenever it is small enough.
+    keyed = keyed.join(offsets, ["__pid", host_col], "left")
+    w = Window.partitionBy("__pid", host_col).orderBy(*[F.col(c) for c in order_cols])
+    return keyed.withColumn(
+        col_name,
+        (F.row_number().over(w) - 1 + F.coalesce(F.col("__off"), F.lit(0))).cast("int"),
+    ).drop("__pid", "__off")
+
+
 def assign_politeness_slots(
     df: DataFrame,
     host_col: str = "host",

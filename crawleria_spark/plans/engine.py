@@ -333,15 +333,24 @@ class CrawlEngine:
         # host is a prefix of its rank order, so kept rows' ranks are
         # exactly 0..m-1 — identical to re-ranking after the cut. Saves a
         # second salted-rank pass (2 shuffles + a driver collect) per round.
-        from crawleria_spark.operators.politeness import per_host_rank, salted_host_rank
+        from crawleria_spark.operators.politeness import bucketed_host_rank, per_host_rank
 
         if self.skew_safe:
-            ranked = salted_host_rank(
+            # priorities are dense global ordinals < next_priority, so the
+            # skew-safe rank uses deterministic priority buckets: no
+            # RangePartitioner sampling job, recompute-safe pids (executor
+            # loss cannot desync the count and rank passes), and the
+            # count/window passes share one (pid, host) exchange. The
+            # window's hash partitioning on (pid, host) also spreads a hot
+            # host across buckets, which the fetch stage below reuses.
+            ranked = bucketed_host_rank(
                 fetchable,
                 "host",
+                "priority",
                 ["priority", "url_canon"],
+                priority_bound=max(next_priority, 1),
                 col_name="politeness_slot",
-                registry=round_persists,
+                num_buckets=cfg.frontier_partitions,
             ).persist()
         else:
             ranked = per_host_rank(
@@ -427,12 +436,13 @@ class CrawlEngine:
         )
 
         # 7. fetch — politeness slots are already assigned, so fetch needs
-        #    no host-total-order. Skew-safe mode: the salted rank left the
-        #    batch RANGE-partitioned on (host, priority, url_canon), which
-        #    already spreads a hot host across partitions while co-locating
-        #    small hosts — reuse it, no extra shuffle. Plain mode: hash
-        #    partitioning by host puts a hot host on one task, so salt by
-        #    politeness slot to split it across skew_salt_buckets tasks.
+        #    no host-total-order. Skew-safe mode: the bucketed rank left
+        #    the batch hash-partitioned on (priority-bucket, host), which
+        #    already spreads a hot host across partitions while keeping
+        #    per-task batches coherent — reuse it, no extra shuffle.
+        #    Plain mode: hash partitioning by host puts a hot host on one
+        #    task, so salt by politeness slot to split it across
+        #    skew_salt_buckets tasks.
         to_fetch = to_fetch.withColumn(
             "salt", F.pmod(F.col("politeness_slot"), F.lit(cfg.skew_salt_buckets)).cast("int")
         )
