@@ -16,12 +16,14 @@ a slightly larger confirm join. Property-tested in tests/test_bloom.py.
 Representation: one bloom per hash bucket ``pmod(url_hash, n_buckets)``
 stored as rows ``(partition int, bloom binary, n_items long)`` — the
 FIXTURES.md §4 shape. Blooms are OR-able, so each round APPENDS a bloom
-over the round's delta only (O(delta) commit IO, like every other append
-in the engine — a merge-and-rewrite of the cumulative bloom each round
-was measured at 8-23 s on the 2M-URL bench round); ``bloom_split`` ORs
-the accumulated delta rows per bucket at probe time, driver-side, where
-the whole table is n_buckets × m/8 bytes anyway. Long crawls compact the
-table with ``merge_blooms`` when the delta-directory count grows.
+over the round's delta only, SIZED for that delta (O(delta) commit IO
+and bytes — a merge-and-rewrite of the cumulative bloom each round was
+measured at 8-23 s on the 2M-URL bench round); ``bloom_split`` ORs the
+accumulated delta rows per (bucket, size-class) EXECUTOR-side at probe
+time and only collects the merged rows — the driver pull is bounded by
+n_buckets × m/8 bytes no matter how many round deltas have accumulated.
+Long crawls compact the table with ``compact_blooms`` when the
+delta-directory count grows.
 
 All build/probe math is vectorized numpy over Arrow batches (no per-row
 Python): k indexes per key via double hashing
@@ -51,11 +53,20 @@ BLOOM_SCHEMA = T.StructType(
 
 
 def bloom_params(capacity: int, fpp: float) -> tuple[int, int]:
-    """(m_bits, k_hashes) sized for `capacity` keys at `fpp` FP rate."""
+    """(m_bits, k_hashes) sized for `capacity` keys at `fpp` FP rate.
+
+    k depends on fpp ONLY (optimal k = -log2(fpp) when m is sized for
+    capacity at that fpp) — this is what makes per-delta-sized blooms
+    probe-able without storing k per row: any blob is self-describing
+    (m = 8 × len(blob)) given the engine-constant fpp."""
     m = max(64, int(-capacity * math.log(fpp) / (math.log(2) ** 2)))
     m = ((m + 63) // 64) * 64  # whole 8-byte words
-    k = max(1, round(m / capacity * math.log(2)))
-    return m, k
+    return m, bloom_k(fpp)
+
+
+def bloom_k(fpp: float) -> int:
+    """Hash count for the engine's fpp — constant across delta sizes."""
+    return max(1, round(-math.log2(fpp)))
 
 
 def _indexes(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
@@ -86,10 +97,22 @@ def build_bloom(
     capacity_per_bucket: int = 1_000_000,
     fpp: float = 0.01,
 ) -> DataFrame:
-    """Per-bucket blooms over a hash column: (partition, bloom, n_items)."""
-    m, k = bloom_params(capacity_per_bucket, fpp)
+    """Per-bucket blooms over a hash column: (partition, bloom, n_items).
+
+    Each bucket's bloom is sized for the rows it ACTUALLY holds, with
+    the capacity quantized to the next power of two (floored at 1024
+    keys, capped at `capacity_per_bucket` — beyond the cap the fpp
+    degrades rather than the blob growing unbounded in one pandas group;
+    scale n_buckets with the expected delta instead). A small round
+    therefore appends kilobytes, not `capacity_per_bucket`-sized blobs;
+    the quantization keeps same-scale deltas in one m size class so
+    ``compact_blooms`` can OR them, and probe/compact handle mixed-m
+    rows anyway (k is fpp-constant, m is read off the blob length)."""
+    k = bloom_k(fpp)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cap = min(capacity_per_bucket, max(1024, 1 << (len(pdf) - 1).bit_length()))
+        m, _ = bloom_params(cap, fpp)
         bits = np.zeros(m // 8, dtype=np.uint8)
         hashes = pdf[hash_col].to_numpy(dtype=np.int64)
         _set_bits(bits, _indexes(hashes, m, k))
@@ -108,10 +131,15 @@ def build_bloom(
 
 
 def compact_blooms(df: DataFrame) -> DataFrame:
-    """Byte-wise OR all rows per partition into one (blooms must share m).
+    """Byte-wise OR rows per (partition, m) into one — executor-side.
 
-    Used to compact an append-table of per-round delta blooms when its
-    directory count grows (the per-round commit itself never rewrites)."""
+    Delta blooms are sized per round, so a bucket can hold rows of
+    different m; only same-m blooms can be OR'd, hence the blob-length
+    grouping (the output stays a handful of rows per bucket — one per
+    distinct delta size class, ≤ ~20 since m is capped). Used both to
+    compact the append table when its directory count grows AND by
+    ``bloom_split`` each probe, so the driver only ever collects the
+    merged rows, never the full round-count-proportional delta history."""
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         acc: np.ndarray | None = None
@@ -124,7 +152,10 @@ def compact_blooms(df: DataFrame) -> DataFrame:
             {"partition": [int(pdf["partition"].iloc[0])], "bloom": [acc.tobytes()], "n_items": [n]}
         )
 
-    return df.groupBy("partition").applyInPandas(merge, schema=BLOOM_SCHEMA)
+    grouped = df.withColumn("__m", F.octet_length("bloom"))
+    return grouped.groupBy("partition", "__m").applyInPandas(
+        lambda pdf: merge(pdf.drop(columns="__m")), schema=BLOOM_SCHEMA
+    )
 
 
 def merge_blooms(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -143,20 +174,19 @@ def bloom_split(
 ) -> tuple[DataFrame, DataFrame]:
     """(certainly-new rows, bloom-positive suspects).
 
-    The bloom blobs are collected and broadcast (bounded: n_buckets × m/8
-    bytes — e.g. 32 × 1.2 MB at 1M keys/bucket, 1% fpp), then probed in a
-    vectorized pandas UDF.
+    The accumulated delta-bloom rows are OR'd EXECUTOR-side first
+    (``compact_blooms`` — one applyInPandas job over the blob rows), so
+    the driver collects at most n_buckets × size-classes merged rows
+    (≈ n_buckets × m/8 bytes) INDEPENDENT of how many un-compacted round
+    deltas the append table holds. A key is "maybe seen" if ANY blob of
+    its bucket tests positive — OR-probing across size classes is
+    equivalent to membership in the union of the deltas, so no false
+    negatives regardless of per-round bloom sizing.
     """
-    m, k = bloom_params(capacity_per_bucket, fpp)
-    # The bloom table is an APPEND table of per-round delta blooms —
-    # OR the accumulated rows per bucket here (driver-side, bounded by
-    # n_buckets × m/8 bytes regardless of round count).
-    acc: dict[int, np.ndarray] = {}
-    for r in bloom_df.collect():
-        p = int(r["partition"])
-        arr = np.frombuffer(r["bloom"], dtype=np.uint8)
-        acc[p] = arr.copy() if p not in acc else (acc[p] | arr)
-    blobs = {p: a.tobytes() for p, a in acc.items()}
+    k = bloom_k(fpp)
+    blobs: dict[int, list[bytes]] = {}
+    for r in compact_blooms(bloom_df).collect():
+        blobs.setdefault(int(r["partition"]), []).append(bytes(r["bloom"]))
     sc = pending.sparkSession.sparkContext
     bc = sc.broadcast(blobs)
 
@@ -166,12 +196,16 @@ def bloom_split(
         buckets = np.mod(h, n_buckets)
         out = np.zeros(len(h), dtype=bool)
         for bucket in np.unique(buckets):
-            blob = bc.value.get(int(bucket))
-            if blob is None:
+            bucket_blobs = bc.value.get(int(bucket))
+            if not bucket_blobs:
                 continue  # empty bucket → nothing seen there
-            bits = np.frombuffer(blob, dtype=np.uint8)
             sel = buckets == bucket
-            out[sel] = _test_bits(bits, _indexes(h[sel], m, k))
+            hits = np.zeros(int(sel.sum()), dtype=bool)
+            for blob in bucket_blobs:
+                bits = np.frombuffer(blob, dtype=np.uint8)
+                m = len(blob) * 8
+                hits |= _test_bits(bits, _indexes(h[sel], m, k))
+            out[sel] = hits
         return pd.Series(out)
 
     flagged = pending.withColumn("__maybe_seen", maybe_seen(F.col(hash_col)))

@@ -589,12 +589,14 @@ class CrawlEngine:
         if self.use_bloom:
             from crawleria_spark.operators.bloom import build_bloom
 
-            # APPEND the round-delta bloom only — blooms are OR-able and
-            # bloom_split ORs the accumulated rows per bucket at probe time
-            # (driver-side, where the whole table is n_buckets × m/8 bytes).
-            # The previous merge-and-REWRITE of the cumulative bloom cost
-            # 8-23 s per round on the 2M-URL bench; this is O(delta) like
-            # every other append. crawl() compacts when directories pile up.
+            # APPEND the round-delta bloom only, sized for the delta —
+            # blooms are OR-able and bloom_split ORs the accumulated rows
+            # per bucket EXECUTOR-side at probe time, collecting only the
+            # merged n_buckets×size-class rows (driver traffic independent
+            # of round count). The previous merge-and-REWRITE of the
+            # cumulative bloom cost 8-23 s per round on the 2M-URL bench;
+            # this is O(delta) like every other append. crawl() compacts
+            # when directories pile up.
             append_tables["seen_bloom"] = build_bloom(
                 seen_new.select("url_hash"),
                 n_buckets=cfg.frontier_partitions,
