@@ -72,22 +72,21 @@ def ivf_centroids(
 ) -> np.ndarray:
     """Train IVF centroids: mini k-means (Lloyd) on a driver-side sample.
 
-    The sample is a seeded `df.sample()` (uniform across partitions —
-    a bare `.limit()` would read only the first partitions and bias the
-    centroids on sorted/clustered data), capped at `sample_rows`; at
-    10^9 vectors the driver only ever sees ~`sample_rows` rows;
-    centroids are (n_centroids × dim) floats, trivially broadcastable.
+    The sample is a seeded `df.sample()` at fraction sample_rows/n with
+    NO limit — uniform across ALL partitions (a bare `.limit()` reads
+    only the first partitions and biases centroids on sorted/clustered
+    data; a limit AFTER sample() re-introduces the same bias by taking
+    sampled rows in partition order). The sample size is ~sample_rows
+    ± a few %, which k-means doesn't care about; at 10^9 vectors the
+    driver still only sees ~`sample_rows` rows; centroids are
+    (n_centroids × dim) floats, trivially broadcastable.
     """
     n = df.count()
     vecs = df.select(vec_col)
     if n > sample_rows:
-        # 1.5x oversample so the post-sample cap rarely undershoots.
-        vecs = vecs.sample(fraction=min(1.0, 1.5 * sample_rows / n), seed=seed)
+        vecs = vecs.sample(fraction=min(1.0, sample_rows / n), seed=seed)
     sample = np.stack(
-        [
-            np.asarray(r[0], dtype=np.float64)
-            for r in vecs.limit(sample_rows).collect()
-        ]
+        [np.asarray(r[0], dtype=np.float64) for r in vecs.collect()]
     )
     sample /= np.linalg.norm(sample, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

@@ -99,15 +99,20 @@ class Retriever:
         )
         result = threshold_topk(scored, "score", threshold, top_k, [self.id_col])
 
-        # A7 rerank: second scoring stage, only when enabled and >1 row
+        # A7 rerank: second scoring stage. The reference gates this on
+        # ">1 result" (retriever.py:154-159) because its rerank is an
+        # LLM call per row; here it is a lazy column expression, and for
+        # n <= 1 the reranked order/rank are trivially identical to the
+        # original — so applying it unconditionally preserves the
+        # reference's observable semantics while keeping retrieve()
+        # action-free (the old `result.count()` was the only Spark job
+        # in the uncached hot path that existed purely to branch).
         if cfg.reranking_enabled and rerank_score is not None:
-            n = result.count()
-            if n > 1:
-                w = Window.orderBy(F.col("rerank_score").desc(), F.col(self.id_col))
-                result = (
-                    result.withColumn("rerank_score", rerank_score)
-                    .withColumn("rank", F.row_number().over(w))
-                )
+            w = Window.orderBy(F.col("rerank_score").desc(), F.col(self.id_col))
+            result = (
+                result.withColumn("rerank_score", rerank_score)
+                .withColumn("rank", F.row_number().over(w))
+            )
 
         # J1/J2 media enrichment (+ P7 existence filter) when media exists
         if self.media is not None:

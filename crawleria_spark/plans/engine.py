@@ -628,17 +628,96 @@ class CrawlEngine:
 
     def capture_single_page(self, url: str) -> dict:
         """Reference F10 (``capture_single_page``, src/crawler/crawler.py:
-        179-203): fetch ONE URL as a 1-row frontier round; returns the
+        179-203): fetch ONE URL and append its artifacts; returns the
         fetch-log row plus the stored doc_id (artifacts live in the
-        documents table, not loose files)."""
-        from crawleria_spark.functions.urls import canonicalize
+        documents table, not loose files).
 
-        self.crawl([url], max_rounds=1)
+        This is an APPEND-only mini round, NOT ``crawl([url])``: the
+        reference's capture is independent of the crawl loop (a direct
+        single-page scrape), so capturing into a catalog that holds a
+        previous crawl must preserve that crawl's frontier/seen/
+        documents — init would REPLACE them. Like the reference, the
+        capture bypasses the robots gate and the page budget (neither
+        gates its direct scrape), and it does not consume crawl budget
+        (``fetched_total`` unchanged); it does consume one priority
+        ordinal so priorities stay globally unique.
+        """
+        from urllib.parse import urlparse
+
+        from crawleria_spark.functions.urls import canonicalize
+        from crawleria_spark.sources.fetch import with_spans_column
+
+        cfg = self.config
+        if self.catalog.latest_version() is None:
+            self.init([])  # fresh root: bootstrap empty state tables
+        meta = self.catalog.latest_meta()
+        rnd = int(meta["round"]) + 1
+        next_priority = int(meta["next_priority"])
+        canon = canonicalize(url)
+        host = urlparse(url).netloc.lower()
+        prior = 0
+        if self.catalog.exists("host_seq"):
+            agg = (
+                self.catalog.read("host_seq")
+                .filter(F.col("host") == host)
+                .agg(F.sum("n_fetched"))
+                .collect()[0][0]
+            )
+            prior = int(agg or 0)
+        one = self.spark.createDataFrame(
+            [(url, canon, host, 0, float(next_priority), rnd, 0, 0, prior)],
+            schema="url string, url_canon string, host string, depth int, "
+            "priority double, discovered_round int, salt int, "
+            "politeness_slot int, seq_in_host int",
+        ).withColumn("url_hash", F.xxhash64("url_canon"))
+        fetched = with_spans_column(
+            fetch_stage(
+                one,
+                self.fetcher,
+                retry_attempts=cfg.retry_attempts,
+                backoff_min_s=cfg.retry_backoff_min_s,
+                backoff_max_s=cfg.retry_backoff_max_s,
+                simulate_wallclock=self.simulate_wallclock,
+                politeness_delay_s=cfg.politeness_delay_s,
+            )
+        ).persist()
+        append_tables = {
+            "documents": fetched.filter(F.col("status") == "ok").select(
+                "doc_id", "url_canon", F.lit(rnd).alias("round"), "spans"
+            ),
+            "fetch_log": fetched.select(
+                "url_canon", "host", F.lit(rnd).alias("round"),
+                "politeness_slot", "seq_in_host", "status", "error",
+            ),
+            "seen": fetched.select(
+                "url_canon", "url_hash", F.lit(rnd).alias("first_round")
+            ),
+            "host_seq": fetched.groupBy("host").agg(
+                F.count("*").cast("long").alias("n_fetched")
+            ),
+        }
+        if self.use_bloom:
+            from crawleria_spark.operators.bloom import build_bloom
+
+            append_tables["seen_bloom"] = build_bloom(
+                fetched.select("url_hash"),
+                n_buckets=cfg.frontier_partitions,
+                capacity_per_bucket=cfg.bloom_capacity_per_partition,
+                fpp=cfg.bloom_fpp,
+            )
+        self.catalog.commit(
+            append=append_tables,
+            meta={
+                "round": rnd,
+                "next_priority": next_priority + 1,
+                "fetched_total": int(meta["fetched_total"]),
+            },
+        )
+        fetched.unpersist()
         # Filter BOTH reads to the captured url_canon before collecting —
         # on a long-lived catalog an unfiltered collect() of fetch_log /
         # documents is a driver-killer, and log[0] would be an arbitrary
         # stale row rather than this capture's.
-        canon = canonicalize(url)
         log = (
             self.catalog.read("fetch_log")
             .filter(F.col("url_canon") == canon)

@@ -127,7 +127,32 @@ class SnapshotCatalog:
                     tables[name] = [fut.result()]
                 else:
                     tables.setdefault(name, []).append(fut.result())
-        manifest = {"version": version, "tables": tables, "meta": meta or {}}
+        # The manifest records every append-delta dir ever committed
+        # ("published" map, carried forward commit to commit) so symlink
+        # publication below is IDEMPOTENT from the manifest: a crash
+        # after the rename but before the symlink loop cannot leave a
+        # committed dir permanently unpublished — the NEXT commit (of
+        # any table) re-creates every missing link. A compact/replace of
+        # an append table deliberately does NOT enter this map: its
+        # rewrite dir holds data the stream already ingested via the
+        # original delta links, and publishing it would double-deliver.
+        published: dict[str, list[str]] = {
+            # entries whose dirs gc() has removed are done streaming —
+            # prune them so the map stays O(live dirs), not O(all rounds)
+            k: [d for d in v if os.path.exists(d)]
+            for k, v in (prev or {}).get("published", {}).items()
+        }
+        for name in drop or []:
+            published.pop(name, None)
+        for (mode, name), fut in (futures.items() if jobs else ()):
+            if mode == "append":
+                published.setdefault(name, []).append(fut.result())
+        manifest = {
+            "version": version,
+            "tables": tables,
+            "published": published,
+            "meta": meta or {},
+        }
         tmp = os.path.join(self.root, f".tmp_manifest_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -139,16 +164,15 @@ class SnapshotCatalog:
         # <root>/published/<table>/* and therefore can never ingest a
         # directory whose commit did not complete (crash between
         # _write_dir and the rename leaves an orphan dir that is never
-        # linked). Symlinks, so no data is copied.
-        for _mode, name, _df in jobs:
-            if _mode != "append":
-                continue
+        # linked). Symlinks, so no data is copied. Links whose targets
+        # gc() already removed are skipped (gc prunes them anyway).
+        for name, dirs in published.items():
             pub = os.path.join(self.root, "published", name)
             os.makedirs(pub, exist_ok=True)
-            target = tables[name][-1]
-            link = os.path.join(pub, os.path.basename(target))
-            if not os.path.lexists(link):
-                os.symlink(target, link)
+            for target in dirs:
+                link = os.path.join(pub, os.path.basename(target))
+                if not os.path.lexists(link) and os.path.exists(target):
+                    os.symlink(target, link)
         return version
 
     def published_path(self, table: str) -> str:

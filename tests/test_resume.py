@@ -101,12 +101,21 @@ def test_fresh_crawl_resets_reused_catalog(spark, tmp_path):
     assert second == first  # no stale seen/docs/log leaked in
 
     # and capture_single_page on the used catalog returns THIS capture
+    # while PRESERVING the prior crawl's state (append-only capture —
+    # ADVICE r2: the old crawl([url]) path init-wiped the catalog)
     eng = _mk_engine(spark, reused)
+    docs_before = eng.catalog.read("documents").count()
+    log_before = eng.catalog.read("fetch_log").count()
+    budget_before = eng.catalog.latest_meta()["fetched_total"]
     row = eng.capture_single_page(SEEDS[1])
     assert row["status"] == "ok"
     from crawleria_spark.functions.urls import canonicalize
 
     assert row["url_canon"] == canonicalize(SEEDS[1])
+    assert eng.catalog.read("documents").count() == docs_before + 1
+    assert eng.catalog.read("fetch_log").count() == log_before + 1
+    # capture does not consume crawl budget
+    assert eng.catalog.latest_meta()["fetched_total"] == budget_before
 
 
 def test_wallclock_politeness_smoke(spark, tmp_path):

@@ -58,6 +58,34 @@ def test_media_join_and_rerank(spark, corpus):
     assert all(row["media_ref"] for row in out)
 
 
+def test_uncached_retrieve_is_action_free(spark, corpus):
+    """The uncached retrieve() hot path launches ZERO Spark jobs —
+    plan-building only (round-2 verdict: a standalone count() job gated
+    the rerank branch). The single-row rerank case stays semantically
+    identical: rank == 1 either way."""
+    cfg = CrawlConfig(top_k=3, similarity_threshold=0.2, reranking_enabled=True)
+    r = Retriever(corpus, config=cfg)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup())
+    out = r.retrieve(
+        query_text="spark crawl frontier fetch queue",
+        rerank_score=F.length("doc_id") + F.col("score"),
+    )
+    assert len(tracker.getJobIdsForGroup()) == before  # no job until an action
+    rows = out.collect()
+    assert [row["rank"] for row in rows] == list(range(1, len(rows) + 1))
+
+    # n == 1: rerank must leave the single row at rank 1 (reference's
+    # ">1 result" gate is a cost guard, not a semantic branch)
+    one = Retriever(
+        corpus.filter(F.col("doc_id") == "d1"), config=cfg
+    ).retrieve(
+        query_text="spark crawl frontier fetch queue",
+        rerank_score=F.length("doc_id") + F.col("score"),
+    ).collect()
+    assert len(one) == 1 and one[0]["rank"] == 1
+
+
 def test_cache_integration(spark, corpus, tmp_path):
     cache = QueryCache(spark, str(tmp_path / "qc"), ttl_s=100)
     r = Retriever(corpus, config=CrawlConfig(top_k=2, similarity_threshold=0.2), cache=cache)

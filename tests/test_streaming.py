@@ -151,3 +151,38 @@ def test_stream_never_sees_unpublished_commit(spark, tmp_path):
     remaining = os.listdir(pub)
     assert all(os.path.exists(os.path.join(pub, l)) for l in remaining)
     assert len(remaining) <= n_links
+
+
+def test_publish_is_idempotent_from_manifest(spark, tmp_path):
+    """Crash window: a crash AFTER the manifest rename but BEFORE the
+    symlink loop must not leave a committed append dir unpublished
+    forever — the next commit (of any table) re-links every missing dir
+    recorded in the manifest's `published` map (ADVICE r2)."""
+    import os
+
+    from crawleria_spark.plans.engine import FETCH_LOG_SCHEMA
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+
+    root = str(tmp_path / "cat")
+    cat = SnapshotCatalog(spark, root)
+    row = [("https://h/x", "h", 0, 0, 0, "ok", None)]
+    df = spark.createDataFrame(row, FETCH_LOG_SCHEMA)
+    cat.commit(append={"fetch_log": df})
+    pub = cat.published_path("fetch_log")
+    # simulate the crash: manifest committed, symlink lost
+    (link,) = os.listdir(pub)
+    os.remove(os.path.join(pub, link))
+    # a later commit of a DIFFERENT table heals the missing link
+    cat.commit(append={"metrics": spark.createDataFrame(
+        [(0, -1, 1, 0, 1, 0, 0, 1)],
+        "round int, partition int, n_dequeued long, n_deduped long, "
+        "n_fetched long, n_errors long, n_discovered long, wall_ms long",
+    )})
+    links = os.listdir(pub)
+    assert link in links and len(links) == 1
+    # and a compact/replace of the append table does NOT re-publish its
+    # rewrite dir (the stream already ingested the original deltas)
+    cat.compact("fetch_log")
+    cat.commit(append={"fetch_log": df})
+    compacted_dir = os.path.basename(cat.latest_manifest()["tables"]["fetch_log"][0])
+    assert compacted_dir not in os.listdir(pub)
