@@ -104,11 +104,16 @@ import numpy as np
 def _winnow_one(text: str, k: int, w: int) -> list[int]:
     """Deterministic winnowing: FNV-1a rolling over char k-grams of the
     normalized text, keep each window's minimum hash (dedup consecutive).
-    Vectorized with numpy sliding windows."""
+    Vectorized with numpy sliding windows.
+
+    The FNV fold runs over CODE POINTS (not utf-8 bytes, r3): DuckDB's
+    substr/unicode are character-based, so the codepoint form lets the
+    q_winnow_dup_pairs oracle recompute the identical hashes in SQL
+    (identical values for ASCII; re-signs non-ASCII corpora)."""
     norm = " ".join(text.lower().split())
     if len(norm) < k:
         return []
-    data = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+    data = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32)
     n = len(data) - k + 1
     if n <= 0:
         return []

@@ -73,9 +73,18 @@ def _fake_decode(data: bytes, media_type: str) -> dict:
 
 
 def decode_media(
-    df: DataFrame, bytes_col: str = "content", type_col: str = "media_type"
+    df: DataFrame,
+    bytes_col: str = "content",
+    type_col: str = "media_type",
+    try_real: bool = True,
 ) -> DataFrame:
-    """Append a `meta` struct column decoded from the binary payload."""
+    """Append a `meta` struct column decoded from the binary payload.
+
+    ``try_real=False`` forces the deterministic stub decoder even where
+    PIL is importable — used by the oracle-checked q_media_pipeline so
+    its output is identical in every environment (the stub's sha256
+    derivation is SQL-expressible; a real decode of non-image bytes
+    would instead yield an error row wherever PIL happens to exist)."""
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("meta", MEDIA_META_SCHEMA)]
     )
@@ -95,7 +104,11 @@ def decode_media(
                     "sha256": hashlib.sha256(data).hexdigest(),
                     "decode_error": None,
                 }
-                real = _try_real_image_decode(data) if mtype == "image" else None
+                real = (
+                    _try_real_image_decode(data)
+                    if try_real and mtype == "image"
+                    else None
+                )
                 meta.update(real if real is not None else _fake_decode(data, mtype))
                 metas.append(meta)
             yield pdf.assign(meta=pd.Series(metas, index=pdf.index, dtype="object"))

@@ -86,19 +86,40 @@ def exact_dup_groups(
 # vectorized token / shingle hashing (shared by minhash + jaccard verify)
 # ---------------------------------------------------------------------------
 
+# Token hashing reads at most this many leading code points (both the
+# numpy path and the DuckDB oracle truncate identically; longer tokens
+# colliding on a 16-char prefix is an acceptable hash property).
+TOKEN_HASH_MAXLEN = 16
+
+
 def _token_hashes(texts: pd.Series) -> list[np.ndarray]:
     """Per text: uint64 hash per lowercased whitespace token.
 
-    All tokens of the batch are hashed in ONE `pd.util.hash_array` call
-    (cython siphash, fixed key — deterministic across processes and
-    PYTHONHASHSEED), then split back per doc.
+    Token hash = splitmix64 of a position-weighted polynomial over the
+    token's first 16 code points: ``mix64(Σ cp_i · P^i mod 2^64)`` with
+    P the FNV prime. Chosen over pandas' siphash (rounds 1-2) because
+    BOTH engines can compute it — the DuckDB oracle reproduces it with
+    HUGEINT arithmetic, which makes the simhash near-dup pipeline
+    hash-verifiable end-to-end (r3); splitmix64 restores full-width bit
+    diffusion, which simhash's per-bit votes need. Fully vectorized:
+    the batch's tokens go through ONE numpy str→codepoint-matrix
+    conversion (fixed-width UCS4 view, truncation built in) and 16
+    fused multiply-adds — no per-token Python hashing.
     """
     tok_lists = [t.lower().split() for t in texts.fillna("")]
     lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
     flat = [tok for toks in tok_lists for tok in toks]
     if not flat:
         return [np.empty(0, dtype=np.uint64) for _ in tok_lists]
-    hashes = pd.util.hash_array(np.asarray(flat, dtype=object))
+    arr = np.array(flat, dtype=f"<U{TOKEN_HASH_MAXLEN}")
+    cp = arr.view(np.uint32).reshape(len(flat), TOKEN_HASH_MAXLEN)
+    with np.errstate(over="ignore"):
+        h0 = np.zeros(len(flat), dtype=np.uint64)
+        pw = np.uint64(1)
+        for i in range(TOKEN_HASH_MAXLEN):
+            h0 += cp[:, i].astype(np.uint64) * pw
+            pw = pw * np.uint64(_FNV_PRIME)
+        hashes = _mix64(h0)
     bounds = np.zeros(len(lens) + 1, dtype=np.int64)
     np.cumsum(lens, out=bounds[1:])
     return [hashes[bounds[i]: bounds[i + 1]] for i in range(len(lens))]

@@ -80,3 +80,30 @@ def test_encode_for_llm(spark):
     assert len(out) == 2  # A9 cap
     for r in out:
         assert base64.b64decode(r["b64"]) == bytes(r["content"])
+
+
+def test_real_pil_decode_path(spark):
+    import pytest
+    """Exercise the real-PIL decode branch (S10/P4) wherever PIL exists:
+    a tiny in-process PNG must decode to its true dimensions, and the
+    resize plan must honor them. Skipped in codec-less containers — the
+    import-guard there is covered by test_decode_media's stub path."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (2400, 600), color=(1, 2, 3)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [("p1", "image", bytearray(png)), ("p2", "image", bytearray(b"not a png"))],
+        "media_id string, media_type string, content binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(decode_media(df), max_width=1920).collect()}
+    good = out["p1"]["meta"]
+    assert (good["format"], good["width"], good["height"]) == ("png", 2400, 600)
+    assert good["decode_error"] is None
+    assert (out["p1"]["target_width"], out["p1"]["target_height"]) == (1920, 480)
+    assert out["p1"]["resized"] is True
+    # corrupt bytes → error row, not a task failure
+    assert out["p2"]["meta"]["decode_error"] is not None
+    assert out["p2"]["resized"] is False
