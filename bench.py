@@ -61,7 +61,13 @@ def _materialize(df) -> int:
     return 0
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
+    """Per-query wall: min of `repeats` timed runs after one warm run.
+
+    Min-of-k because this box hosts bursty external tenants (documented
+    1.8x run-to-run variance — the r2 q_lang_id 0.44->1.86 s 'regression'
+    was a single-shot landing in a neighbor's burst); the minimum is the
+    least-contended estimate, same policy as --scaling."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -69,9 +75,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warm (plan + file listing + JIT)
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
 
 

@@ -1,17 +1,26 @@
 """Scalable global dense ordinals / global top-k by rank.
 
 ``Window.orderBy(...)`` with no partition key collapses to ONE partition
-— a driver-killer at 100 TB. The standard distributed alternative:
+— a driver-killer at 100 TB. The distributed alternative is two-pass:
+range-bucket the rows, count per bucket, prefix-sum the offsets, then
+partition-local ``row_number`` + offset.
 
-1. ``repartitionByRange`` on the order keys (rows in partition p all
-   sort before partition p+1),
-2. count rows per partition (tiny aggregate collected to the driver),
-3. cumulative offsets per partition, broadcast back,
-4. partition-local ``row_number`` + offset.
+Two bucket strategies:
+
+- ``bucketed_dense_ordinal`` (engine default): when the leading order
+  key is a bounded non-negative numeric (the engine's dense priority
+  ordinals), the bucket is the PURE EXPRESSION ``floor(key/width)`` —
+  no RangePartitioner sampling job, recompute-safe without persist
+  pinning, offsets computed distributively.
+- ``with_dense_ordinal`` (generic keys): ``repartitionByRange`` +
+  persisted two-pass. Carries the documented executor-loss caveat (a
+  recomputed block may resample different range boundaries); callers
+  needing loss-safety on arbitrary keys should checkpoint.
 
 Used for: priority-ordinal assignment of newly discovered links (crawl
 discovery order must be globally dense and deterministic) and for the
-page-budget cut (global "first N by priority") when the budget binds.
+page-budget cut (global "first N by priority") when the budget binds —
+both via the bucketed variant since r3.
 """
 
 from __future__ import annotations
@@ -74,6 +83,75 @@ def with_dense_ordinal(
     return ranged.withColumn(
         col_name, (F.row_number().over(w) - F.lit(1) + offset_expr).cast("long")
     ).drop("__pid")
+
+
+def bucketed_dense_ordinal(
+    df: DataFrame,
+    bound_col: str,
+    order_cols: list[str],
+    bound: float,
+    col_name: str = "ordinal",
+    start: int = 0,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Dense 0..n-1 (+start) ordinal, recompute-safe and sampling-free.
+
+    When the LEADING order key is a bounded non-negative numeric (the
+    engine's dense priority ordinals, < next_priority from round meta),
+    the range partition is the PURE EXPRESSION ``pid = floor(key/width)``
+    instead of ``repartitionByRange`` — the same trick as
+    politeness.bucketed_host_rank:
+
+    - no RangePartitioner sampling job;
+    - deterministic under recompute: a lost block re-derives the same
+      pid, so the count pass and the rank pass can never disagree — this
+      variant has NO persist-pinning requirement (with_dense_ordinal's
+      documented executor-loss caveat does not apply);
+    - pid is monotonic in the leading key, so per-pid prefix-sum offsets
+      recompose the exact global ordinal.
+
+    The per-pid counts are ≤ num_buckets rows; their prefix-sum window
+    and the broadcast join back are negligible at any scale.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    width = max(1.0, float(bound) / n)
+    pid = F.least(F.lit(n - 1), F.floor(F.col(bound_col) / F.lit(width)).cast("int"))
+    keyed = df.withColumn("__pid", pid)
+    counts = keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    ).drop("__cnt")
+    keyed = keyed.join(F.broadcast(offsets), "__pid", "left")
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    return keyed.withColumn(
+        col_name,
+        (F.row_number().over(w) - 1 + F.coalesce(F.col("__off"), F.lit(0)) + F.lit(start)).cast("long"),
+    ).drop("__pid", "__off")
+
+
+def bucketed_limit_by(
+    df: DataFrame,
+    bound_col: str,
+    order_cols: list[str],
+    limit: int,
+    bound: float,
+    num_buckets: int | None = None,
+    registry: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Split df into (first `limit` rows by order_cols, the rest) using
+    the recompute-safe bucketed ordinal. The persist is a pure
+    performance choice (both splits share the rank) — correctness does
+    not depend on it, unlike global_limit_by's range-sampled variant."""
+    ranked = bucketed_dense_ordinal(
+        df, bound_col, order_cols, bound, col_name="__grank",
+        num_buckets=num_buckets,
+    ).persist()
+    if registry is not None:
+        registry.append(ranked)
+    taken = ranked.filter(F.col("__grank") < limit).drop("__grank")
+    rest = ranked.filter(F.col("__grank") >= limit).drop("__grank")
+    return taken, rest
 
 
 def global_limit_by(

@@ -30,8 +30,10 @@ Scale design (10^10-URL frontier on 1000 executors):
   (operators/bloom.py) drops the 95%+ already-seen candidates map-side
   before the exact join.
 - no single-partition global windows anywhere: global ordinals and the
-  budget cut use range-partitioned two-pass ranking (operators/ordinal),
-  per-host politeness under skew uses salted_host_rank.
+  budget cut use deterministic priority-bucketed two-pass ranking
+  (operators/ordinal bucketed_* — pure-expression pid, recompute-safe,
+  no sampling job), per-host politeness under skew uses
+  bucketed_host_rank.
 - append tables (documents/fetch_log/metrics) commit O(delta) per round.
 - fetch parallelism: the round batch is repartitioned by host so
   politeness is partition-local and connection reuse per host is
@@ -49,7 +51,7 @@ from pyspark.sql import types as T
 
 from crawleria_spark.config import CrawlConfig
 from crawleria_spark.functions.urls import host_expr, url_canon_expr
-from crawleria_spark.operators.ordinal import global_limit_by, with_dense_ordinal
+from crawleria_spark.operators.ordinal import bucketed_dense_ordinal, bucketed_limit_by
 from crawleria_spark.plans.snapshot import SnapshotCatalog
 from crawleria_spark.sources.fetch import SPAN_SCHEMA, fetch_stage
 
@@ -374,8 +376,13 @@ class CrawlEngine:
         else:
             n_kept = kept.count()
             if n_kept > remaining:
-                to_fetch, deferred_budget = global_limit_by(
-                    kept, ["priority", "url_canon"], remaining,
+                # priorities are bounded dense ordinals → the budget cut
+                # uses the recompute-safe bucketed ordinal (pure-expression
+                # pid, no RangePartitioner sampling job)
+                to_fetch, deferred_budget = bucketed_limit_by(
+                    kept, "priority", ["priority", "url_canon"], remaining,
+                    bound=max(next_priority, 1),
+                    num_buckets=cfg.frontier_partitions,
                     registry=round_persists,
                 )
             else:
@@ -511,12 +518,18 @@ class CrawlEngine:
         n_cand = cand.count()        # persisted plan itself for release
         _tick("fetch + discovery count")
         if n_cand > 0:
-            cand = with_dense_ordinal(
+            # discovery order keys are (parent_priority, link_offset)
+            # with parent_priority < next_priority — the bucketed ordinal
+            # (pure-expression pid) retires with_dense_ordinal's
+            # documented executor-loss recompute caveat here (r2 verdict)
+            cand = bucketed_dense_ordinal(
                 cand,
+                "parent_priority",
                 ["parent_priority", "link_offset"],
+                bound=max(next_priority, 1),
                 col_name="__ord",
                 start=next_priority,
-                registry=round_persists,
+                num_buckets=cfg.frontier_partitions,
             )
             new_rows = cand.select(
                 "url",

@@ -71,3 +71,50 @@ def test_bucketed_rank_degenerate_bounds(spark, skewed):
             )
         )
         assert got == plain, (bound, buckets)
+
+
+def test_bucketed_dense_ordinal_equivalence(spark):
+    """bucketed_dense_ordinal == with_dense_ordinal == a single-window
+    ground truth, on a bounded leading key (the engine's discovery /
+    budget-cut shape), including degenerate bounds."""
+    from pyspark.sql import Window, functions as F
+
+    from crawleria_spark.operators.ordinal import (
+        bucketed_dense_ordinal,
+        bucketed_limit_by,
+        with_dense_ordinal,
+    )
+
+    df = (
+        spark.range(5_000)
+        .select(
+            (F.xxhash64("id") % 1000 + 1000).cast("double").alias("prio"),
+            F.col("id").alias("tie"),
+        )
+        .persist()
+    )
+    w = Window.orderBy("prio", "tie")
+    truth = {
+        (r["prio"], r["tie"]): r["o"]
+        for r in df.withColumn("o", F.row_number().over(w) - 1 + 7).collect()
+    }
+    for buckets, bound in ((16, 2000.0), (1, 2000.0), (64, 1.0)):
+        got = {
+            (r["prio"], r["tie"]): r["ord"]
+            for r in bucketed_dense_ordinal(
+                df, "prio", ["prio", "tie"], bound=bound, col_name="ord",
+                start=7, num_buckets=buckets,
+            ).collect()
+        }
+        assert got == truth, f"buckets={buckets} bound={bound}"
+    legacy = {
+        (r["prio"], r["tie"]): r["ord"]
+        for r in with_dense_ordinal(df, ["prio", "tie"], col_name="ord", start=7).collect()
+    }
+    assert legacy == truth
+
+    taken, rest = bucketed_limit_by(df, "prio", ["prio", "tie"], 123, bound=2000.0)
+    tk = {(r["prio"], r["tie"]) for r in taken.collect()}
+    assert len(tk) == 123
+    assert tk == {k for k, v in truth.items() if v - 7 < 123}
+    assert rest.count() == 5_000 - 123
