@@ -207,6 +207,8 @@ def bench_crawl_round(spark, cores: int, use_bloom: bool = True, skew_safe: bool
             "urls_per_sec": round(n_frontier / wall, 1),
             "urls_per_sec_per_core": round(n_frontier / wall / cores, 1),
             "cores": cores,
+            # per-stage decomposition (same labels as CRAWLERIA_PROFILE)
+            "stage_walls": st.get("stage_walls", {}),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

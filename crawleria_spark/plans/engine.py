@@ -236,12 +236,14 @@ class CrawlEngine:
 
         profile = os.environ.get("CRAWLERIA_PROFILE") == "1"
         _last = [time.time()]
+        stage_walls: dict[str, float] = {}
 
         def _tick(label: str) -> None:
+            now = time.time()
+            stage_walls[label] = round(now - _last[0], 3)
             if profile:
-                now = time.time()
                 print(f"[round-profile] {label:30s} {now - _last[0]:6.2f}s", flush=True)
-                _last[0] = now
+            _last[0] = now
 
         t0 = time.time()
         cfg = self.config
@@ -654,6 +656,7 @@ class CrawlEngine:
             "n_pending": n_pending,
             "fetched_total": fetched_total,
             "stopped": False,
+            "stage_walls": stage_walls,
         }
 
     def capture_single_page(self, url: str) -> dict:
