@@ -71,9 +71,23 @@ def test_no_row_python_udfs_anywhere(spark, entry):
     """Every Python crossing must be Arrow-vectorized (ArrowEvalPython /
     mapInPandas FlatMapGroupsInPandas etc.), never BatchEvalPython."""
     qs = entry.queries()
-    for name in ["q_url_canonical_doc_id", "q_lang_id", "q_cosine_topk", "q_minhash_dup_pairs"]:
+    for name in [
+        "q_url_canonical_doc_id", "q_lang_id", "q_cosine_topk",
+        "q_minhash_dup_pairs", "q_simhash_dup_pairs", "q_winnow_dup_pairs",
+        "q_ann_lsh_topk", "q_ann_ivf_topk", "q_media_pipeline",
+    ]:
         plan = _plan(qs[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_clustered_derivation_stays_jvm_side(spark, entry):
+    """The r3 clustered-embedding derivation (ANN oracle substrate) is a
+    pure JVM transform expression — no Python crossing before the probe
+    UDF itself."""
+    import __spark_entry__ as e
+
+    df, _ = e._clustered_embeddings(spark, SF_DIR)
+    assert "EvalPython" not in _plan(df)
 
 
 def test_media_enrichment_broadcasts(spark):
