@@ -53,6 +53,11 @@ class CrawlConfig:
 
     # engine-only scale knobs (no reference equivalent)
     frontier_partitions: int = 32
+    # append tables compact when their delta-directory count exceeds
+    # this (bounds file listing; the frontier compaction also reclaims
+    # logically-dequeued rows, bounding the dead fraction the per-round
+    # dedup scan carries)
+    compact_dirs_threshold: int = 64
     bloom_fpp: float = 0.01
     bloom_capacity_per_partition: int = 1_000_000
     skew_salt_buckets: int = 8

@@ -34,7 +34,10 @@ Scale design (10^10-URL frontier on 1000 executors):
   (operators/ordinal bucketed_* — pure-expression pid, recompute-safe,
   no sampling job), per-host politeness under skew uses
   bucketed_host_rank.
-- append tables (documents/fetch_log/metrics) commit O(delta) per round.
+- EVERY per-round commit is O(delta), including the frontier: re-enqueue
+  appends only newly discovered rows; dequeued rows are removed
+  logically via the same-commit `seen` append (next round's anti-join
+  drops them) and reclaimed physically by periodic live-set compaction.
 - fetch parallelism: the round batch is repartitioned by host so
   politeness is partition-local and connection reuse per host is
   possible inside the Arrow batch.
@@ -406,16 +409,13 @@ class CrawlEngine:
         )
 
         if n_to_fetch == 0:
-            # nothing fetchable: commit robots denials, report; caller stops
-            new_frontier = deferred_cap
-            if deferred_budget is not None:
-                new_frontier = new_frontier.unionByName(deferred_budget)
+            # nothing fetchable: commit robots denials, report; caller
+            # stops. The frontier is untouched — denied rows enter `seen`
+            # (next round's dedup drops them) and deferred rows simply
+            # stay in their append dirs (see step 9: the frontier is an
+            # APPEND table; dequeue removes rows logically via `seen`,
+            # never by rewriting).
             self.catalog.commit(
-                replace={
-                    "frontier": new_frontier.select(
-                        [f.name for f in FRONTIER_SCHEMA.fields]
-                    ),
-                },
                 append={"fetch_log": denied_log, "seen": denied_seen},
                 meta={
                     "round": rnd,
@@ -562,12 +562,19 @@ class CrawlEngine:
             new_rows = self._empty(FRONTIER_SCHEMA)
         next_priority += n_cand
 
-        new_frontier = deferred_cap.select([f.name for f in FRONTIER_SCHEMA.fields])
-        if deferred_budget is not None:
-            new_frontier = new_frontier.unionByName(
-                deferred_budget.select([f.name for f in FRONTIER_SCHEMA.fields])
-            )
-        new_frontier = new_frontier.unionByName(new_rows)
+        # 9b. frontier re-enqueue is an APPEND of the newly discovered
+        # rows ONLY. Dequeued rows are removed LOGICALLY: everything
+        # fetched or robots-denied this round enters `seen` in this same
+        # commit, and next round's dedup (`alive = pending ∖ seen`)
+        # drops them — the identical row set a physical rewrite would
+        # produce, at O(delta) commit cost instead of O(pending).
+        # Deferred (cap/budget) rows are not in `seen`, so they stay
+        # live in their original append dirs untouched. At a 10^10-URL
+        # frontier the per-round difference is appending ~10^7 rows vs
+        # rewriting 10^10; the bloom prefilter keeps the accumulated
+        # dead rows cheap at dequeue (they are seen ⇒ bloom-positive ⇒
+        # confirmed dead map-side + one suspects join), and crawl()
+        # compacts the frontier to its live set when delta dirs pile up.
 
         # per-partition lineage metrics (partition = hash bucket of host):
         # ONE small collect supplies both the lineage rows and the global
@@ -635,8 +642,9 @@ class CrawlEngine:
                 capacity_per_bucket=cfg.bloom_capacity_per_partition,
                 fpp=cfg.bloom_fpp,
             )
+        if n_cand > 0:
+            append_tables["frontier"] = new_rows
         self.catalog.commit(
-            replace={"frontier": new_frontier},
             append=append_tables,
             meta={
                 "round": rnd,
@@ -645,6 +653,9 @@ class CrawlEngine:
             },
         )
         _tick("commit (all writes)")
+        # gross row count (live + not-yet-compacted dequeued rows) — a
+        # parquet-metadata upper bound on the live frontier, NOT an exact
+        # live count (which would cost an anti-join per round)
         n_pending = self.catalog.read("frontier").count()
         _tick("pending count")
         for df in (alive, decided, ranked, kept, fetched, *round_persists):
@@ -655,7 +666,10 @@ class CrawlEngine:
             "n_discovered": n_cand,
             "n_pending": n_pending,
             "fetched_total": fetched_total,
-            "stopped": False,
+            # fixpoint: nothing fetched AND nothing discovered ⇒ the next
+            # round would be identical (the gross frontier can be
+            # non-empty while every row is dead/capped) — stop.
+            "stopped": n_fetch_rows == 0 and n_cand == 0,
             "stage_walls": stage_walls,
         }
 
@@ -792,11 +806,25 @@ class CrawlEngine:
                 break
             # bound file-listing growth of append tables on long crawls
             for table in ("seen", "host_seq"):
-                if self.catalog.n_dirs(table) > 64:
+                if self.catalog.n_dirs(table) > self.config.compact_dirs_threshold:
                     self.catalog.compact(table)
+            # the frontier compacts to its LIVE set (gross ∖ seen): the
+            # append-only re-enqueue leaves dequeued rows in place until
+            # this periodic rewrite reclaims them — one O(live) write
+            # every ~64 rounds instead of every round
+            if self.catalog.n_dirs("frontier") > self.config.compact_dirs_threshold:
+                alive_frontier = self.catalog.read("frontier").join(
+                    self.catalog.read("seen").select("url_canon"),
+                    "url_canon",
+                    "left_anti",
+                )
+                self.catalog.commit(
+                    replace={"frontier": alive_frontier},
+                    meta=self.catalog.latest_meta(),
+                )
             # the bloom append-table also merges rows per bucket when
             # compacted, so probe-time OR cost stays bounded too
-            if self.use_bloom and self.catalog.n_dirs("seen_bloom") > 64:
+            if self.use_bloom and self.catalog.n_dirs("seen_bloom") > self.config.compact_dirs_threshold:
                 from crawleria_spark.operators.bloom import compact_blooms
 
                 self.catalog.commit(

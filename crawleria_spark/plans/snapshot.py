@@ -6,12 +6,13 @@ changed, then atomically renames a manifest JSON into place. The
 manifest pins every table to a concrete list of data directories, so
 readers see either the whole commit or none of it. Two table modes:
 
-- REPLACE (frontier, seen, host_seq): the commit's directory list is
-  `[new_dir]` — old state is superseded.
-- APPEND (documents, fetch_log, metrics): the new directory is appended
-  to the list, so a round commit costs O(round delta), never a rewrite
-  of the accumulated table — the property Iceberg appends give you, and
-  the one that matters at 10^10 URLs.
+- REPLACE (init-time state, periodic compactions): the commit's
+  directory list is `[new_dir]` — old state is superseded.
+- APPEND (documents, fetch_log, metrics, seen, host_seq, frontier
+  deltas): the new directory is appended to the list, so a round commit
+  costs O(round delta), never a rewrite of the accumulated table — the
+  property Iceberg appends give you, and the one that matters at 10^10
+  URLs.
 
 Kill-resume = read the latest valid manifest (round number + crawl
 counters live in manifest meta). Swapping in real Iceberg = implement

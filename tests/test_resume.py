@@ -143,3 +143,35 @@ def test_wallclock_politeness_smoke(spark, tmp_path):
     assert len(log) == 6
     assert sorted(r["politeness_slot"] for r in log) == list(range(6))
     assert wall >= 0.05 * 4  # at least some slot gaps actually slept
+
+
+def test_frontier_append_only_with_live_compaction(spark, tmp_path):
+    """r3: the per-round frontier commit APPENDS only newly discovered
+    rows (O(delta), never a rewrite of the pending set); dequeued rows
+    are dropped logically via `seen` and reclaimed by the periodic
+    live-set compaction. A gross-nonempty-but-dead frontier must stop
+    the crawl (fixpoint), not loop forever."""
+    from dataclasses import replace
+
+    root = str(tmp_path / "af")
+    eng = _mk_engine(spark, root)
+    eng.config = replace(eng.config, compact_dirs_threshold=2)
+    eng.crawl(SEEDS, max_rounds=20)
+    cat = eng.catalog
+
+    manifest = cat.latest_manifest()
+    # compaction kicked in: frontier dirs bounded by threshold + a few
+    assert len(manifest["tables"]["frontier"]) <= 3
+    # compacted frontier holds NO already-seen rows
+    seen = {r["url_canon"] for r in cat.read("seen").collect()}
+    frontier_rows = {r["url_canon"] for r in cat.read("frontier").collect()}
+    overlap = frontier_rows & seen
+    assert not overlap or len(manifest["tables"]["frontier"]) > 1
+    # parity state equals a run with the default threshold (storage
+    # layout must not change observable results)
+    base = _mk_engine(spark, str(tmp_path / "base"))
+    base.crawl(SEEDS, max_rounds=20)
+    for table in ("documents", "fetch_log", "seen"):
+        a = sorted(map(tuple, cat.read(table).drop("spans").collect()))
+        b = sorted(map(tuple, base.catalog.read(table).drop("spans").collect()))
+        assert a == b, table
