@@ -20,13 +20,21 @@ URL-seen set, and per-row span sequences):
 1. DEQUEUE: all pending frontier rows.
 2. DEDUP: drop rows whose url_canon is in `seen`; among survivors keep
    one row per url_canon — min (priority, depth, url).
-3. ROBOTS: longest-prefix rule per (host, path); disallowed rows are
-   logged with status='robots_denied', added to `seen`, NOT counted
-   against the page budget.
-4. HOST CAP: per host, keep the max_concurrent_per_host smallest by
-   (priority, url_canon); the rest stay pending for the next round.
-5. BUDGET: globally keep the (max_pages - fetched_so_far) smallest by
-   (priority, url_canon); the rest stay pending.
+3-5. DEQUEUE SCAN (robots + host cap + budget, fused, r3): walk the
+   deduped candidates in (priority, url_canon) order. For each row:
+   - robots longest-prefix rule DISALLOWS it → log status=
+     'robots_denied', add to `seen`, not counted against the budget;
+   - else if fewer than max_concurrent_per_host rows of its host have
+     been taken this round → TAKE it;
+   - else → it stays pending for the next round.
+   The walk STOPS once (max_pages - fetched_so_far) rows are taken;
+   rows never reached by the walk — including robots-disallowed ones —
+   stay pending untouched and are (re-)evaluated in a later round.
+   This bounded-scan form is what lets the engine dequeue from a
+   priority HEAD of a 10^10-row frontier instead of scanning all of
+   it: taken rows, slots, and logged denials are provably identical
+   whenever the head contains at least the budget's worth of takeable
+   rows (everything beyond the head sorts after the stop point).
 6. POLITENESS: politeness_slot = 0-based rank within host by
    (priority, url_canon); seq_in_host = prior per-host fetch count + slot.
 7. FETCH: deterministic synthetic page; status ok/error (retries are
@@ -146,36 +154,32 @@ class OracleCrawler:
                 best.values(), key=lambda r: (r["priority"], r["url_canon"])
             )
 
-            # 3. robots gate
-            fetchable: list[dict] = []
-            for r in candidates:
+            # 3-5. dequeue scan: robots + host cap + budget in candidate
+            # order; the walk STOPS at the budget point — rows beyond it
+            # (denied or not) stay pending untouched (round-spec 3-5).
+            remaining = cfg.max_pages - fetched_total
+            per_host_count: dict[str, int] = {}
+            to_fetch: list[dict] = []
+            deferred: list[dict] = []
+            for i, r in enumerate(candidates):  # sorted by (priority, canon)
+                if len(to_fetch) >= remaining:
+                    deferred += candidates[i:]  # unscanned: stay pending
+                    break
                 path = urlparse(r["url_canon"]).path or "/"
-                if self._robots_allowed(r["host"], path):
-                    fetchable.append(r)
-                else:
+                if not self._robots_allowed(r["host"], path):
                     res.seen.add(r["url_canon"])
                     res.fetch_log.append(
                         {"url_canon": r["url_canon"], "host": r["host"], "round": rnd,
                          "politeness_slot": -1, "seq_in_host": -1,
                          "status": "robots_denied", "error": None}
                     )
-
-            # 4. per-host concurrency cap
-            per_host_count: dict[str, int] = {}
-            capped: list[dict] = []
-            deferred: list[dict] = []
-            for r in fetchable:  # already sorted by (priority, canon)
+                    continue
                 c = per_host_count.get(r["host"], 0)
                 if c < cfg.max_concurrent_per_host:
                     per_host_count[r["host"]] = c + 1
-                    capped.append(r)
+                    to_fetch.append(r)
                 else:
                     deferred.append(r)
-
-            # 5. global budget
-            remaining = cfg.max_pages - fetched_total
-            to_fetch = capped[:remaining]
-            deferred += capped[remaining:]
 
             if not to_fetch:
                 frontier = deferred

@@ -24,11 +24,17 @@ the reference's declared-but-dead parameters (src/crawler/crawler.py:
 (src/crawler/crawler.py:129-135).
 
 Scale design (10^10-URL frontier on 1000 executors):
-- frontier/seen are hash-partitionable by url_canon; the dedup
-  anti-join is the only frontier-wide shuffle per round, and AQE
-  (skew-join on) re-plans it at runtime. A bloom pre-filter
-  (operators/bloom.py) drops the 95%+ already-seen candidates map-side
-  before the exact join.
+- HEAD-LIMITED DEQUEUE: when the page budget binds, the round reads
+  only the priority head of the frontier that contains the budget
+  (`priority < cutoff` pushed into the parquet scan — min-max stats
+  prune whole files), widening geometrically if the head under-fills;
+  provably identical outputs because the dequeue scan (round-spec 3-5)
+  stops at the budget point anyway. A 10^7-page round against a
+  10^10-row frontier scans ~0.1-1%, not all of it.
+- the dedup anti-join is the only frontier-scale shuffle per round
+  (head-scale when the budget binds), and AQE (skew-join on) re-plans
+  it at runtime. A bloom pre-filter (operators/bloom.py) drops the
+  95%+ already-seen candidates map-side before the exact join.
 - no single-partition global windows anywhere: global ordinals and the
   budget cut use deterministic priority-bucketed two-pass ranking
   (operators/ordinal bucketed_* — pure-expression pid, recompute-safe,
@@ -258,9 +264,8 @@ class CrawlEngine:
         pending = self.catalog.read("frontier")
         seen = self.catalog.read("seen")
 
-        # 2. dedup: anti-join vs seen (+ optional bloom pre-filter), then
-        #    min-(priority, depth, url) per url_canon
         from crawleria_spark.operators.bloom import anti_join_seen
+        from crawleria_spark.operators.politeness import bucketed_host_rank, per_host_rank
 
         bloom_df = (
             self.catalog.read("seen_bloom")
@@ -268,134 +273,192 @@ class CrawlEngine:
             else None
         )
         round_persists: list = []  # intermediates to release post-commit
-        alive = anti_join_seen(
-            pending,
-            seen,
-            bloom_df,
-            n_buckets=cfg.frontier_partitions,
-            capacity_per_bucket=cfg.bloom_capacity_per_partition,
-            fpp=cfg.bloom_fpp,
-            registry=round_persists,
-        )
-        alive = alive.persist()
+        remaining = cfg.max_pages - fetched_total
+        if remaining <= 0:
+            return {"round": rnd, "n_fetched": 0, "n_pending": -1, "stopped": True}
+
+        def dequeue_attempt(head: DataFrame):
+            """Stages 2-4 (dedup → robots → fused cap/slot rank) over a
+            frontier subset. Returns lazily-built DataFrames plus the
+            persisted handles so a rejected head attempt can release
+            them immediately."""
+            persists: list = []
+            # 2. dedup: anti-join vs seen (+ optional bloom pre-filter),
+            # then min-(priority, depth, url) per url_canon as a HASH
+            # AGGREGATE with map-side partial combine (min_by over a
+            # struct key) — far cheaper than a sort-window when dup
+            # ratios are high, and the shuffle key matches the
+            # anti-join's, so Catalyst reuses the exchange. Priorities
+            # are globally unique ordinals ⇒ no ties ⇒ deterministic.
+            alive = anti_join_seen(
+                head,
+                seen,
+                bloom_df,
+                n_buckets=cfg.frontier_partitions,
+                capacity_per_bucket=cfg.bloom_capacity_per_partition,
+                fpp=cfg.bloom_fpp,
+                registry=persists,
+            ).persist()
+            persists.append(alive)
+            cols = alive.columns
+            best = (
+                alive.groupBy("url_canon")
+                .agg(
+                    F.min_by(
+                        F.struct(*[F.col(c) for c in cols if c != "url_canon"]),
+                        F.struct("priority", "depth", "url"),
+                    ).alias("__r")
+                )
+                .select("url_canon", "__r.*")
+            )
+
+            # 3. robots gate: broadcast longest-prefix match per url
+            path = F.regexp_extract(
+                "url_canon", r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1
+            )
+            best = best.withColumn("__path", F.when(path == "", "/").otherwise(path))
+            if cfg.respect_robots_txt and self.robots is not None:
+                robots = F.broadcast(self.robots) if self._robots_small else self.robots
+                matches = best.join(
+                    robots,
+                    (F.col("host") == F.col("r_host"))
+                    & F.col("__path").startswith(F.col("path_prefix")),
+                    "left",
+                )
+                # longest prefix wins; among equal lengths the DISALLOW
+                # rule wins (conservative tie-break, mirrored in the oracle)
+                w_rule = Window.partitionBy("url_canon").orderBy(
+                    F.length("path_prefix").desc_nulls_last(),
+                    F.col("allow").asc_nulls_last(),
+                )
+                decided = (
+                    matches.withColumn("__rr", F.row_number().over(w_rule))
+                    .filter(F.col("__rr") == 1)
+                    .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
+                    .withColumn(
+                        "crawl_delay_s",
+                        F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.politeness_delay_s)),
+                    )
+                    .drop("__rr", "r_host", "path_prefix", "allow")
+                )
+            else:
+                decided = best.withColumn("__allow", F.lit(True)).withColumn(
+                    "crawl_delay_s", F.lit(cfg.politeness_delay_s)
+                )
+            decided = decided.persist()
+            persists.append(decided)
+            denied = decided.filter(~F.col("__allow"))
+            fetchable = decided.filter(F.col("__allow")).drop("__allow", "__path")
+
+            # 4+6 fused: ONE per-host rank serves both the concurrency
+            # cap and the politeness slot. Proof of equivalence: the
+            # budget keeps a global (priority, url_canon) prefix, which
+            # within each host is a prefix of its rank order, so kept
+            # rows' ranks are exactly 0..m-1 — identical to re-ranking
+            # after the cut.
+            if self.skew_safe:
+                ranked = bucketed_host_rank(
+                    fetchable,
+                    "host",
+                    "priority",
+                    ["priority", "url_canon"],
+                    priority_bound=max(next_priority, 1),
+                    col_name="politeness_slot",
+                    num_buckets=cfg.frontier_partitions,
+                ).persist()
+            else:
+                ranked = per_host_rank(
+                    fetchable, "host", ["priority", "url_canon"],
+                    col_name="politeness_slot",
+                ).persist()
+            persists.append(ranked)
+            kept = ranked.filter(
+                F.col("politeness_slot") < cfg.max_concurrent_per_host
+            ).persist()
+            persists.append(kept)
+            return alive, decided, denied, kept, persists
+
+        # HEAD-LIMITED DEQUEUE (round-spec 3-5). The dequeue scan stops
+        # at the budget point, so when the budget binds the round only
+        # needs the priority HEAD of the frontier that contains it — at
+        # a 10^10-row frontier with a 10^7 budget that is a ~1% scan,
+        # and the `priority < cutoff` filter prunes parquet row groups/
+        # files via min-max stats instead of reading them. Equivalence:
+        # everything beyond the head sorts after the walk's stop point,
+        # so taken rows, slots, and logged denials are identical
+        # whenever the head yields >= `remaining` kept rows; if it
+        # doesn't, widen geometrically (each attempt releases its
+        # persists) and finally fall back to the full frontier.
+        pending_bound = pending.count()  # parquet metadata count — no scan
+        if pending_bound < remaining:
+            cutoffs: list[float | None] = [None]
+        else:
+            cutoffs = []
+            c = max(8 * remaining, 1024)
+            while c < next_priority:
+                cutoffs.append(float(c))
+                c *= 8
+            cutoffs.append(None)
+        n_kept = -1
+        for cutoff in cutoffs:
+            head = (
+                pending
+                if cutoff is None
+                else pending.filter(F.col("priority") < F.lit(cutoff))
+            )
+            alive, decided, denied, kept, attempt_persists = dequeue_attempt(head)
+            if cutoff is None:
+                # full frontier: exact kept count only needed when the
+                # budget could bind (pending_bound >= remaining)
+                n_kept = kept.count() if pending_bound >= remaining else -1
+                break
+            n_kept = kept.count()
+            if n_kept >= remaining:
+                break
+            for df in attempt_persists:
+                df.unpersist()
+        round_persists.extend(attempt_persists)
         n_alive = alive.count() if self.collect_stats else -1
         _tick("dedup anti-join + count")
-        # min-(priority, depth, url) per url_canon as a HASH AGGREGATE with
-        # map-side partial combine (min_by over a struct key) — far cheaper
-        # than a sort-window when dup ratios are high, and the shuffle key
-        # matches the anti-join's, so Catalyst reuses the exchange.
-        # Priorities are globally unique ordinals ⇒ no ties ⇒ deterministic.
-        cols = alive.columns
-        best = (
-            alive.groupBy("url_canon")
-            .agg(
-                F.min_by(
-                    F.struct(*[F.col(c) for c in cols if c != "url_canon"]),
-                    F.struct("priority", "depth", "url"),
-                ).alias("__r")
-            )
-            .select("url_canon", "__r.*")
-        )
-
-        # 3. robots gate: broadcast longest-prefix match per url
-        path = F.regexp_extract("url_canon", r"^[a-z][a-z0-9+.\-]*://[^/?#]*(/[^?#]*)", 1)
-        best = best.withColumn("__path", F.when(path == "", "/").otherwise(path))
-        if cfg.respect_robots_txt and self.robots is not None:
-            robots = F.broadcast(self.robots) if self._robots_small else self.robots
-            matches = best.join(
-                robots,
-                (F.col("host") == F.col("r_host"))
-                & F.col("__path").startswith(F.col("path_prefix")),
-                "left",
-            )
-            # longest prefix wins; among equal lengths the DISALLOW rule
-            # wins (conservative tie-break, mirrored in the oracle)
-            w_rule = Window.partitionBy("url_canon").orderBy(
-                F.length("path_prefix").desc_nulls_last(),
-                F.col("allow").asc_nulls_last(),
-            )
-            decided = (
-                matches.withColumn("__rr", F.row_number().over(w_rule))
-                .filter(F.col("__rr") == 1)
-                .withColumn("__allow", F.coalesce(F.col("allow"), F.lit(True)))
-                .withColumn(
-                    "crawl_delay_s",
-                    F.coalesce(F.col("crawl_delay_s"), F.lit(cfg.politeness_delay_s)),
-                )
-                .drop("__rr", "r_host", "path_prefix", "allow")
-            )
-        else:
-            decided = best.withColumn("__allow", F.lit(True)).withColumn(
-                "crawl_delay_s", F.lit(cfg.politeness_delay_s)
-            )
-        decided = decided.persist()
-        denied = decided.filter(~F.col("__allow"))
-        fetchable = decided.filter(F.col("__allow")).drop("__allow", "__path")
         n_best = decided.count() if self.collect_stats else -1
         _tick("best+robots count")
 
-        # 4+6 fused: ONE per-host rank serves both the concurrency cap and
-        # the politeness slot. Proof of equivalence: the later global budget
-        # keeps a global (priority, url_canon) prefix, which within each
-        # host is a prefix of its rank order, so kept rows' ranks are
-        # exactly 0..m-1 — identical to re-ranking after the cut. Saves a
-        # second salted-rank pass (2 shuffles + a driver collect) per round.
-        from crawleria_spark.operators.politeness import bucketed_host_rank, per_host_rank
-
-        if self.skew_safe:
-            # priorities are dense global ordinals < next_priority, so the
-            # skew-safe rank uses deterministic priority buckets: no
-            # RangePartitioner sampling job, recompute-safe pids (executor
-            # loss cannot desync the count and rank passes), and the
-            # count/window passes share one (pid, host) exchange. The
-            # window's hash partitioning on (pid, host) also spreads a hot
-            # host across buckets, which the fetch stage below reuses.
-            ranked = bucketed_host_rank(
-                fetchable,
-                "host",
-                "priority",
-                ["priority", "url_canon"],
-                priority_bound=max(next_priority, 1),
-                col_name="politeness_slot",
-                num_buckets=cfg.frontier_partitions,
-            ).persist()
-        else:
-            ranked = per_host_rank(
-                fetchable, "host", ["priority", "url_canon"], col_name="politeness_slot"
-            ).persist()
-        kept = ranked.filter(F.col("politeness_slot") < cfg.max_concurrent_per_host)
-        deferred_cap = ranked.filter(
-            F.col("politeness_slot") >= cfg.max_concurrent_per_host
-        )
-
-        # 5. global page budget. `kept` is a subset of the pending frontier,
-        # whose row count comes free from parquet footers — when even that
-        # upper bound fits the remaining budget, skip the exact count AND
-        # the budget cut entirely (the common non-final-round case).
-        remaining = cfg.max_pages - fetched_total
-        kept = kept.persist()
-        pending_bound = pending.count()  # parquet metadata count — no scan
-        if pending_bound <= remaining:
-            to_fetch, deferred_budget = kept, None
+        # 5. budget point: p_star = priority of the last taken row WHEN
+        # the budget fills (n_kept >= remaining); the dequeue scan never
+        # reaches past it, so only denials with priority < p_star are
+        # logged this round (round-spec 3-5) — the rest stay pending.
+        if n_kept == -1:
+            # budget cannot fill (pending_bound < remaining): the walk
+            # scans every candidate; no cut, all denials logged
+            to_fetch, p_star = kept, None
             n_to_fetch = -1 if pending_bound > 0 else 0  # resolved post-fetch
-        else:
-            n_kept = kept.count()
+        elif n_kept >= remaining:
             if n_kept > remaining:
-                # priorities are bounded dense ordinals → the budget cut
-                # uses the recompute-safe bucketed ordinal (pure-expression
-                # pid, no RangePartitioner sampling job)
-                to_fetch, deferred_budget = bucketed_limit_by(
+                # priorities are bounded dense ordinals → recompute-safe
+                # bucketed ordinal cut (pure-expression pid, no sampling
+                # job); the complement stays pending for free (append-
+                # only frontier — nothing to write back)
+                to_fetch, _rest = bucketed_limit_by(
                     kept, "priority", ["priority", "url_canon"], remaining,
                     bound=max(next_priority, 1),
                     num_buckets=cfg.frontier_partitions,
                     registry=round_persists,
                 )
             else:
-                to_fetch, deferred_budget = kept, None
-            n_to_fetch = min(n_kept, max(remaining, 0))
+                to_fetch = kept
+            p_star = to_fetch.agg(F.max("priority")).collect()[0][0]
+            n_to_fetch = remaining
+        else:
+            to_fetch, p_star = kept, None
+            n_to_fetch = n_kept
         _tick("host cap count")
 
-        denied_log = denied.select(
+        denied_scanned = (
+            denied
+            if p_star is None
+            else denied.filter(F.col("priority") < F.lit(float(p_star)))
+        )
+        denied_log = denied_scanned.select(
             "url_canon",
             "host",
             F.lit(rnd).alias("round"),
@@ -404,7 +467,7 @@ class CrawlEngine:
             F.lit("robots_denied").alias("status"),
             F.lit(None).cast("string").alias("error"),
         )
-        denied_seen = denied.select(
+        denied_seen = denied_scanned.select(
             "url_canon", "url_hash", F.lit(rnd).alias("first_round")
         )
 
@@ -423,7 +486,7 @@ class CrawlEngine:
                     "fetched_total": fetched_total,
                 },
             )
-            for df in (alive, decided, kept, ranked, *round_persists):
+            for df in round_persists:
                 df.unpersist()
             return {"round": rnd, "n_fetched": 0, "n_pending": -1, "stopped": True}
 
@@ -658,7 +721,7 @@ class CrawlEngine:
         # live count (which would cost an anti-join per round)
         n_pending = self.catalog.read("frontier").count()
         _tick("pending count")
-        for df in (alive, decided, ranked, kept, fetched, *round_persists):
+        for df in (fetched, *round_persists):
             df.unpersist()
         return {
             "round": rnd,
@@ -671,6 +734,8 @@ class CrawlEngine:
             # non-empty while every row is dead/capped) — stop.
             "stopped": n_fetch_rows == 0 and n_cand == 0,
             "stage_walls": stage_walls,
+            # accepted head cutoff (None = full-frontier scan)
+            "head_cutoff": cutoff,
         }
 
     def capture_single_page(self, url: str) -> dict:

@@ -175,3 +175,72 @@ def test_frontier_append_only_with_live_compaction(spark, tmp_path):
         a = sorted(map(tuple, cat.read(table).drop("spans").collect()))
         b = sorted(map(tuple, base.catalog.read(table).drop("spans").collect()))
         assert a == b, table
+
+
+def test_head_limited_dequeue(spark, tmp_path):
+    """r3: when the page budget binds, the round dequeues from a
+    priority HEAD of the frontier (priority < cutoff pushed to the
+    parquet scan), widening geometrically when the head under-fills —
+    with outputs identical to the full scan (the dequeue scan stops at
+    the budget point either way)."""
+    from dataclasses import replace
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.plans.engine import (
+        DOCUMENTS_SCHEMA, FETCH_LOG_SCHEMA, HOST_SEQ_SCHEMA, METRICS_SCHEMA,
+    )
+    from crawleria_spark.sources.fetch import synthetic_fetcher
+
+    def mk_state(root, n_frontier, n_dead):
+        cat = SnapshotCatalog(spark, root)
+        frontier = spark.range(n_frontier).select(
+            F.concat(F.lit("https://h"), F.col("id") % 7, F.lit(".example.org/p/"), F.col("id")).alias("url"),
+            F.concat(F.lit("https://h"), F.col("id") % 7, F.lit(".example.org/p/"), F.col("id")).alias("url_canon"),
+            F.concat(F.lit("h"), F.col("id") % 7, F.lit(".example.org")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.col("id").cast("double").alias("priority"),
+            F.lit(-1).alias("discovered_round"),
+            F.lit(0).alias("salt"),
+        ).withColumn("url_hash", F.xxhash64("url_canon"))
+        seen = frontier.filter(F.col("priority") < n_dead).select(
+            "url_canon", "url_hash", F.lit(-1).alias("first_round")
+        )
+        def empty(s):
+            return spark.createDataFrame([], s)
+        cat.commit(
+            replace={"frontier": frontier.select(
+                "url", "url_canon", "url_hash", "host", "depth",
+                "priority", "discovered_round", "salt"),
+                "seen": seen, "host_seq": empty(HOST_SEQ_SCHEMA)},
+            append={"documents": empty(DOCUMENTS_SCHEMA),
+                    "fetch_log": empty(FETCH_LOG_SCHEMA),
+                    "metrics": empty(METRICS_SCHEMA)},
+            meta={"round": -1, "next_priority": n_frontier, "fetched_total": 0},
+        )
+        return cat
+
+    cfg = CrawlConfig(max_depth=0, max_pages=50, max_concurrent_per_host=10**9,
+                      respect_robots_txt=False)
+    # head engages on the first attempt: budget 50 → cutoff 1024 holds
+    # plenty of live rows
+    cat1 = mk_state(str(tmp_path / "h1"), 20_000, n_dead=0)
+    eng1 = CrawlEngine(spark, cat1, cfg, synthetic_fetcher(WORLD))
+    st1 = eng1.run_round()
+    assert st1["head_cutoff"] == 1024.0
+    assert st1["n_fetched"] == 50
+    fetched = {r["url_canon"] for r in cat1.read("fetch_log").collect()}
+    assert fetched == {f"https://h{i % 7}.example.org/p/{i}" for i in range(50)}
+
+    # all of the first head is dead → the engine widens geometrically
+    # and still fetches exactly the globally-first 50 LIVE rows
+    cat2 = mk_state(str(tmp_path / "h2"), 20_000, n_dead=5_000)
+    eng2 = CrawlEngine(spark, cat2, cfg, synthetic_fetcher(WORLD))
+    st2 = eng2.run_round()
+    assert st2["head_cutoff"] is not None and st2["head_cutoff"] > 1024.0
+    assert st2["n_fetched"] == 50
+    fetched2 = {r["url_canon"] for r in cat2.read("fetch_log").collect()}
+    assert fetched2 == {f"https://h{i % 7}.example.org/p/{i}" for i in range(5_000, 5_050)}
+
+    # the cutoff filter reaches the parquet scan (file/row-group pruning)
+    plan = cat2.read("frontier").filter(F.col("priority") < 1024.0)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "priority" in plan
