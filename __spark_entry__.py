@@ -338,6 +338,28 @@ def q_dedup_anti_join(spark, sf_dir):
     return orders.join(seen, "o_orderkey", "left_anti").select("o_orderkey")
 
 
+def q_dedup_anti_join_cuckoo(spark, sf_dir):
+    """F4/J4 via the cuckoo-filter fast path (operators/cuckoo.py — the
+    north rule's "bloom/cuckoo" alternative AMQ): certainly-new rows
+    split off map-side by a broadcast fingerprint probe, only the
+    ~1.2e-4-rate suspects reach the exact anti-join shuffle. Zero false
+    negatives ⇒ the oracle is the plain exact anti-join SQL."""
+    from crawleria_spark.operators.cuckoo import anti_join_seen_cuckoo, build_cuckoo
+
+    orders = _t(spark, sf_dir, "orders")
+    pending = orders.select(
+        F.col("o_orderkey").cast("string").alias("url_canon")
+    ).withColumn("url_hash", F.xxhash64("url_canon"))
+    seen = pending.filter(F.col("url_canon").cast("long") % 3 == 0)
+    cf = build_cuckoo(
+        seen.select("url_hash"), n_buckets=8, capacity_per_bucket=200_000
+    )
+    alive = anti_join_seen_cuckoo(pending, seen, cf, n_buckets=8)
+    return alive.select(
+        F.col("url_canon").cast("long").alias("o_orderkey")
+    ).orderBy("o_orderkey")
+
+
 def q_round_dequeue(spark, sf_dir):
     """The crawl round's dequeue pipeline in one DataFrame: within-batch
     dedup → per-host cap → global budget (scalable ordinal) → politeness
@@ -825,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_politeness_slots": q_politeness_slots,
         "q_host_cap": q_host_cap,
         "q_dedup_anti_join": q_dedup_anti_join,
+        "q_dedup_anti_join_cuckoo": q_dedup_anti_join_cuckoo,
         "q_round_dequeue": q_round_dequeue,
         "q_url_canonical_doc_id": q_url_canonical_doc_id,
         "q_host_extract": q_host_extract,
@@ -910,6 +933,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_dedup_anti_join": """
             SELECT o_orderkey FROM orders WHERE o_orderkey % 3 != 0
+        """,
+        "q_dedup_anti_join_cuckoo": """
+            SELECT o_orderkey FROM orders WHERE o_orderkey % 3 != 0
+            ORDER BY o_orderkey
         """,
         "q_round_dequeue": """
             WITH canonized AS (

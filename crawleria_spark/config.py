@@ -58,6 +58,13 @@ class CrawlConfig:
     # logically-dequeued rows, bounding the dead fraction the per-round
     # dedup scan carries)
     compact_dirs_threshold: int = 64
+    # AMQ seen-filter kind (north rule: "bloom/cuckoo-filter URL-seen
+    # set"). "bloom" = operators/bloom.py (default; ~1.2 bytes/key at
+    # fpp 0.01, no deletion); "cuckoo" = operators/cuckoo.py (~2.4
+    # bytes/key capacity, probe fpp ≈ 1.2e-4, supports DELETION —
+    # required by CrawlEngine.forget's O(filter) re-crawl path).
+    # Active only when the engine is built with use_bloom=True.
+    seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
     bloom_capacity_per_partition: int = 1_000_000
     skew_salt_buckets: int = 8

@@ -178,6 +178,37 @@ class CrawlEngine:
     def _empty(self, schema: T.StructType) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    def _seen_filter_ops(self):
+        """(table, build_fn, anti_join_fn, compact_fn) for the configured
+        AMQ seen-filter kind — the north rule's "bloom/cuckoo-filter
+        URL-seen set". Both kinds share the delta-append architecture
+        (O(delta) row appended per round, executor-side merge at probe,
+        bounded driver collect) and the zero-false-negative anti-join
+        contract, so the round pipeline is kind-agnostic."""
+        cfg = self.config
+        if cfg.seen_filter == "cuckoo":
+            from crawleria_spark.operators import cuckoo as cf
+
+            def build(df: DataFrame) -> DataFrame:
+                return cf.build_cuckoo(
+                    df,
+                    n_buckets=cfg.frontier_partitions,
+                    capacity_per_bucket=cfg.bloom_capacity_per_partition,
+                )
+
+            return "seen_cuckoo", build, cf.anti_join_seen_cuckoo, cf.compact_cuckoo
+        from crawleria_spark.operators import bloom as bl
+
+        def build(df: DataFrame) -> DataFrame:
+            return bl.build_bloom(
+                df,
+                n_buckets=cfg.frontier_partitions,
+                capacity_per_bucket=cfg.bloom_capacity_per_partition,
+                fpp=cfg.bloom_fpp,
+            )
+
+        return "seen_bloom", build, bl.anti_join_seen, bl.compact_blooms
+
     def init(self, seeds: list[str]) -> None:
         """Round -1 commit: seed frontier + empty state tables.
 
@@ -220,7 +251,7 @@ class CrawlEngine:
                 "fetch_log": self._empty(FETCH_LOG_SCHEMA),
                 "metrics": self._empty(METRICS_SCHEMA),
             },
-            drop=["seen_bloom"],
+            drop=["seen_bloom", "seen_cuckoo"],
             meta={"round": -1, "next_priority": next_priority, "fetched_total": 0},
         )
 
@@ -264,12 +295,12 @@ class CrawlEngine:
         pending = self.catalog.read("frontier")
         seen = self.catalog.read("seen")
 
-        from crawleria_spark.operators.bloom import anti_join_seen
         from crawleria_spark.operators.politeness import bucketed_host_rank, per_host_rank
 
+        filter_table, _, anti_join_seen, _ = self._seen_filter_ops()
         bloom_df = (
-            self.catalog.read("seen_bloom")
-            if self.use_bloom and self.catalog.exists("seen_bloom")
+            self.catalog.read(filter_table)
+            if self.use_bloom and self.catalog.exists(filter_table)
             else None
         )
         round_persists: list = []  # intermediates to release post-commit
@@ -689,22 +720,16 @@ class CrawlEngine:
             "metrics": metrics_df,
         }
         if self.use_bloom:
-            from crawleria_spark.operators.bloom import build_bloom
-
-            # APPEND the round-delta bloom only, sized for the delta —
-            # blooms are OR-able and bloom_split ORs the accumulated rows
-            # per bucket EXECUTOR-side at probe time, collecting only the
-            # merged n_buckets×size-class rows (driver traffic independent
-            # of round count). The previous merge-and-REWRITE of the
-            # cumulative bloom cost 8-23 s per round on the 2M-URL bench;
-            # this is O(delta) like every other append. crawl() compacts
-            # when directories pile up.
-            append_tables["seen_bloom"] = build_bloom(
-                seen_new.select("url_hash"),
-                n_buckets=cfg.frontier_partitions,
-                capacity_per_bucket=cfg.bloom_capacity_per_partition,
-                fpp=cfg.bloom_fpp,
-            )
+            # APPEND the round-delta filter only, sized for the delta —
+            # both AMQ kinds merge the accumulated rows per bucket
+            # EXECUTOR-side at probe time, collecting only the merged
+            # rows (driver traffic independent of round count). The
+            # previous merge-and-REWRITE of the cumulative filter cost
+            # 8-23 s per round on the 2M-URL bench; this is O(delta)
+            # like every other append. crawl() compacts when
+            # directories pile up.
+            filter_table, build_filter, _, _ = self._seen_filter_ops()
+            append_tables[filter_table] = build_filter(seen_new.select("url_hash"))
         if n_cand > 0:
             append_tables["frontier"] = new_rows
         self.catalog.commit(
@@ -737,6 +762,93 @@ class CrawlEngine:
             # accepted head cutoff (None = full-frontier scan)
             "head_cutoff": cutoff,
         }
+
+    def forget(self, urls: list[str], requeue: bool = True) -> int:
+        """Un-see URLs so future rounds re-fetch them (re-crawl/refresh
+        scheduling). Returns how many of the URLs were actually seen.
+
+        Admin op, not a round: one atomic commit that (a) REPLACEs the
+        exact ``seen`` table minus the targets, (b) updates the AMQ
+        filter — this is where ``config.seen_filter`` matters: the
+        CUCKOO kind DELETES the targets' fingerprints in O(filter
+        bytes) (operators/cuckoo.delete_hashes), while the bloom kind
+        must REBUILD from the full remaining seen set because blooms
+        cannot delete — and (c) with ``requeue=True`` APPENDs the
+        forgotten URLs back onto the frontier as depth-0 rows with
+        fresh priorities (else they are only re-fetched if
+        re-discovered). Existing documents/fetch_log rows are kept —
+        a refresh appends new rows; consumers read the latest round.
+        The reference has no re-crawl support at all (its URL-seen
+        ``Set`` import is dead code, src/crawler/crawler.py:8)."""
+        from urllib.parse import urlparse
+
+        from crawleria_spark.functions.urls import canonicalize
+
+        canon = []
+        seen_order: set[str] = set()
+        for u in urls:
+            c = canonicalize(u)
+            if c not in seen_order:  # dedupe, keep caller order
+                seen_order.add(c)
+                canon.append(c)
+        if not canon:
+            return 0
+        targets = self.spark.createDataFrame(
+            [(c,) for c in canon], "url_canon string"
+        )
+        seen = self.catalog.read("seen")
+        present_rows = (
+            seen.join(targets, "url_canon", "left_semi")
+            .select("url_canon", "url_hash")
+            .collect()  # bounded by len(urls) — admin-op scale
+        )
+        if not present_rows:
+            return 0
+        present = {r["url_canon"]: int(r["url_hash"]) for r in present_rows}
+        new_seen = seen.join(targets, "url_canon", "left_anti")
+        replace: dict[str, DataFrame] = {"seen": new_seen}
+        if self.use_bloom:
+            filter_table, build_filter, _, _ = self._seen_filter_ops()
+            if self.catalog.exists(filter_table):
+                if self.config.seen_filter == "cuckoo":
+                    from crawleria_spark.operators.cuckoo import delete_hashes
+
+                    replace[filter_table] = delete_hashes(
+                        self.catalog.read(filter_table),
+                        list(present.values()),
+                        n_buckets=self.config.frontier_partitions,
+                    )
+                else:
+                    replace[filter_table] = build_filter(
+                        new_seen.select("url_hash")
+                    )
+        meta = dict(self.catalog.latest_meta())
+        append: dict[str, DataFrame] = {}
+        if requeue:
+            next_priority = int(meta["next_priority"])
+            rows = []
+            for c in canon:
+                if c not in present:
+                    continue
+                rows.append(
+                    (
+                        c,
+                        c,
+                        present[c],
+                        urlparse(c).netloc.lower(),
+                        0,
+                        float(next_priority),
+                        int(meta.get("round", -1)),
+                        0,
+                    )
+                )
+                next_priority += 1
+            meta["next_priority"] = next_priority
+            append["frontier"] = self.spark.createDataFrame(
+                rows, schema=FRONTIER_SCHEMA
+            )
+        self.catalog.commit(replace=replace, append=append or None, meta=meta)
+        return len(present)
 
     def capture_single_page(self, url: str) -> dict:
         """Reference F10 (``capture_single_page``, src/crawler/crawler.py:
@@ -809,14 +921,8 @@ class CrawlEngine:
             ),
         }
         if self.use_bloom:
-            from crawleria_spark.operators.bloom import build_bloom
-
-            append_tables["seen_bloom"] = build_bloom(
-                fetched.select("url_hash"),
-                n_buckets=cfg.frontier_partitions,
-                capacity_per_bucket=cfg.bloom_capacity_per_partition,
-                fpp=cfg.bloom_fpp,
-            )
+            filter_table, build_filter, _, _ = self._seen_filter_ops()
+            append_tables[filter_table] = build_filter(fetched.select("url_hash"))
         self.catalog.commit(
             append=append_tables,
             meta={
@@ -887,14 +993,13 @@ class CrawlEngine:
                     replace={"frontier": alive_frontier},
                     meta=self.catalog.latest_meta(),
                 )
-            # the bloom append-table also merges rows per bucket when
-            # compacted, so probe-time OR cost stays bounded too
-            if self.use_bloom and self.catalog.n_dirs("seen_bloom") > self.config.compact_dirs_threshold:
-                from crawleria_spark.operators.bloom import compact_blooms
-
+            # the filter append-table also merges rows per bucket when
+            # compacted, so probe-time merge cost stays bounded too
+            filter_table, _, _, compact_filter = self._seen_filter_ops()
+            if self.use_bloom and self.catalog.n_dirs(filter_table) > self.config.compact_dirs_threshold:
                 self.catalog.commit(
                     replace={
-                        "seen_bloom": compact_blooms(self.catalog.read("seen_bloom"))
+                        filter_table: compact_filter(self.catalog.read(filter_table))
                     },
                     meta=self.catalog.latest_meta(),
                 )
