@@ -177,6 +177,8 @@ def bench_crawl_round(spark, cores: int, use_bloom: bool = True, skew_safe: bool
             max_pages=10**9,
             max_concurrent_per_host=10**9,
             frontier_partitions=fixed_partitions or max(cores, 8),
+            # SPARK_GRAFT_SEEN_FILTER=cuckoo benches the cuckoo AMQ path
+            seen_filter=os.environ.get("SPARK_GRAFT_SEEN_FILTER", "bloom"),
         )
         world = WorldConfig(seed=42, n_hosts=N_HOSTS, error_rate=0.02)
 

@@ -39,6 +39,7 @@ def _engine(args, spark):
         max_pages=args.max_pages,
         allowed_domains=tuple(args.allowed_domains or ()),
         cookies=cookies,
+        seen_filter=getattr(args, "seen_filter", "bloom"),
     )
     if getattr(args, "fetcher", "synthetic") == "http":
         from crawleria_spark.sources.http import http_fetcher
@@ -77,6 +78,21 @@ def cmd_crawl(args, spark) -> dict:
         "fetched": log.filter("status in ('ok','error')").count(),
         "documents": catalog.read("documents").count(),
         "pending": catalog.read("frontier").count(),
+        "catalog": args.catalog,
+    }
+
+
+def cmd_forget(args, spark) -> dict:
+    """Un-see URLs for re-crawl/refresh (CrawlEngine.forget): removes
+    them from the exact seen table, deletes their fingerprints from the
+    cuckoo filter (or rebuilds the bloom), and by default re-enqueues
+    them so the next `crawl --resume` re-fetches."""
+    engine, catalog = _engine(args, spark)
+    n = engine.forget(args.urls, requeue=not args.no_requeue)
+    return {
+        "forgotten": n,
+        "requeued": 0 if args.no_requeue else n,
+        "seen": catalog.read("seen").count(),
         "catalog": args.catalog,
     }
 
@@ -192,6 +208,16 @@ def main(argv=None) -> int:
     c.add_argument("--timeout", type=float, default=10.0)
     c.add_argument("--proxy-to", help="route requests to host:port, keeping "
                    "the URL host in the Host header (fetch proxy / tests)")
+    c.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom",
+                   help="AMQ seen-set kind; cuckoo enables O(filter) forget")
+
+    fg = sub.add_parser("forget", help="un-see URLs so a resumed crawl "
+                        "re-fetches them (re-crawl/refresh)")
+    fg.add_argument("urls", nargs="+")
+    fg.add_argument("--no-requeue", action="store_true",
+                    help="only un-see; re-fetch happens on re-discovery")
+    fg.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom")
+    fg.set_defaults(depth=3, max_pages=50, allowed_domains=None)
 
     pr = sub.add_parser("process")
     pr.add_argument("--media-dir", required=True)
@@ -229,6 +255,7 @@ def main(argv=None) -> int:
     spark = get_spark("crawleria_cli", cores=args.cores)
     result = {
         "crawl": cmd_crawl,
+        "forget": cmd_forget,
         "process": cmd_process,
         "query": cmd_query,
         "pipeline": cmd_pipeline,

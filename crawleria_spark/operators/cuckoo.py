@@ -234,7 +234,7 @@ def _probe(blob: bytes, h: np.ndarray) -> np.ndarray:
         if table is not None:
             for s in range(SLOTS):
                 hit |= table[base + s] == fp
-        else:
+        elif len(pos):  # empty sparse filter (e.g. fully forgotten) → no hits
             lo = np.searchsorted(pos, base.astype(np.uint32))
             for s in range(SLOTS):
                 idx = lo + s

@@ -35,6 +35,25 @@ def test_cli_resume(spark, tmp_path, capsys):
     assert second["fetched"] > first["fetched"]
 
 
+def test_cli_forget_recrawl(spark, tmp_path, capsys):
+    """crawl → forget → resumed crawl re-fetches the forgotten URL
+    (cuckoo filter: fingerprint deletion, no bloom rebuild)."""
+    cat = str(tmp_path / "cli_forget")
+    seed = "https://hub.example.com/p/0"
+    main(["--catalog", cat, "crawl", seed, "--depth", "1",
+          "--max-pages", "12", "--max-rounds", "5", "--seen-filter", "cuckoo"])
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = main(["--catalog", cat, "forget", seed, "--seen-filter", "cuckoo"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["forgotten"] == 1 and out["requeued"] == 1
+    main(["--catalog", cat, "crawl", seed, "--depth", "1",
+          "--max-pages", "30", "--max-rounds", "3", "--resume",
+          "--seen-filter", "cuckoo"])
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["fetched"] > first["fetched"]  # the re-fetch happened
+
+
 def test_cli_process(spark, tmp_path, capsys):
     d = tmp_path / "shots"
     d.mkdir()

@@ -61,6 +61,19 @@ def test_cuckoo_stash_keeps_zero_fn_under_overload():
     assert _probe(merged, keys).all() and _probe(merged, keys2).all()
 
 
+def test_probe_empty_filter_no_hits():
+    """A fully-forgotten (zero-entry sparse) filter probes all-negative
+    instead of crashing (regression: IndexError on empty pos array)."""
+    m = 64
+    blob = _encode(
+        m,
+        np.zeros(m * SLOTS, dtype=np.uint16),
+        np.zeros(0, dtype=np.uint32),
+        np.zeros(0, dtype=np.uint16),
+    )
+    assert not _probe(blob, np.array([1, 2, 3], dtype=np.int64)).any()
+
+
 def test_anti_join_equivalence_cuckoo(spark):
     """cuckoo-prefiltered anti-join returns the identical row set."""
     n_seen, n_pending = 5_000, 8_000
