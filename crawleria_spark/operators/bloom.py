@@ -27,8 +27,11 @@ delta-directory count grows.
 
 All build/probe math is vectorized numpy over Arrow batches (no per-row
 Python): k indexes per key via double hashing
-``idx_i = (h + i * h2) mod m`` with h = xxhash64(url_canon) computed
-JVM-side and ``h2 = h * golden_gamma`` (splitmix64 constant).
+``idx_i = (h1 + i * h2) mod m`` with ``h1 = splitmix64_mix(h)``,
+h = xxhash64(url_canon) computed JVM-side, and ``h2 = h1 *
+golden_gamma``. The mix step decorrelates the indexes from the
+pmod-bucket assignment that shares the same raw hash — see ``_mix64``
+for why skipping it saturates 1/n_buckets of the bits.
 """
 
 from __future__ import annotations
@@ -42,6 +45,25 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: decorrelate filter bit indexes from the
+    pmod(hash, n_buckets) bucket assignment. Within one bucket every
+    key satisfies h ≡ b (mod n_buckets); with m a multiple of 64 and
+    h2 = h·GAMMA|1, BOTH double-hashing terms are then constant mod
+    n_buckets, so all k indexes collapse into k fixed residue classes —
+    only 1/n_buckets of the filter's bits are ever touched. Measured at
+    the 2M-URL bench shape (32 buckets): 84% false-positive rate
+    instead of the sized 1%, i.e. the pre-filter was silently passing
+    most of the frontier to the exact join. Full-avalanche mixing
+    restores index uniformity (and the sized fpp) regardless of how
+    the rows were bucketed."""
+    with np.errstate(over="ignore"):
+        z = h.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 BLOOM_SCHEMA = T.StructType(
     [
@@ -72,7 +94,7 @@ def bloom_k(fpp: float) -> int:
 def _indexes(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     """(n, k) bit indexes via double hashing; wrap-around uint64 math."""
     with np.errstate(over="ignore"):
-        h1 = hashes.astype(np.uint64)
+        h1 = _mix64(hashes)  # decorrelate from bucket pmod — see _mix64
         h2 = h1 * _GAMMA | np.uint64(1)  # odd → full-period stepping
         steps = np.arange(k, dtype=np.uint64)
         return ((h1[:, None] + steps[None, :] * h2[:, None]) % np.uint64(m)).astype(

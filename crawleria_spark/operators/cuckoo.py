@@ -62,6 +62,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from crawleria_spark.operators.bloom import _mix64
+
 SLOTS = 4
 _MAX_LOAD = 0.84
 _MIX = 0x5BD1E995
@@ -83,8 +85,13 @@ def cuckoo_m_buckets(capacity: int) -> int:
 
 
 def _decompose(h: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(fp uint16, i1 int64, i2 int64) for int64 hashes; m power of two."""
-    hu = np.ascontiguousarray(h, dtype=np.int64).view(np.uint64)
+    """(fp uint16, i1 int64, i2 int64) for int64 hashes; m power of two.
+
+    Hashes are splitmix64-mixed first (bloom._mix64): the raw hash is
+    also the pmod bucket key, so its low bits are constant within a
+    partition and ``h & (m-1)`` would concentrate every i1 into
+    1/n_buckets of the table, inflating evictions and stash size."""
+    hu = _mix64(np.ascontiguousarray(h, dtype=np.int64))
     fp = ((hu >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
     fp = np.where(fp == 0, np.uint16(1), fp)
     i1 = (hu & np.uint64(m - 1)).astype(np.int64)

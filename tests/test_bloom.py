@@ -30,6 +30,27 @@ def test_bloom_numpy_no_false_negatives():
     assert fp_rate < 0.05  # sized for 1%
 
 
+def test_bloom_fpp_holds_for_bucket_correlated_keys():
+    """Regression (r3): per-bucket blooms hold keys sharing h ≡ b (mod
+    n_buckets). Before the _mix64 decorrelation, every double-hashed
+    index then collapsed into k residue classes mod n_buckets (m is a
+    multiple of 64), saturating 1/n_buckets of the bits — 84% FP at the
+    2M bench shape instead of the sized 1%."""
+    n_buckets, bucket = 32, 5
+    m, k = bloom_params(65536, 0.01)
+    rng = np.random.default_rng(3)
+    # one bucket's worth of keys: all ≡ bucket (mod n_buckets)
+    base = rng.integers(0, 2**57, size=62_500, dtype=np.int64)
+    keys = base * n_buckets + bucket
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    _set_bits(bits, _indexes(keys, m, k))
+    assert _test_bits(bits, _indexes(keys, m, k)).all()  # zero FN
+    probes = rng.integers(0, 2**57, size=100_000, dtype=np.int64) * n_buckets + bucket
+    probes = np.setdiff1d(probes, keys)
+    fp_rate = _test_bits(bits, _indexes(probes, m, k)).mean()
+    assert fp_rate < 0.05, f"bucket-correlated FP rate {fp_rate:.3f}"
+
+
 def test_anti_join_equivalence(spark):
     """bloom-prefiltered anti-join returns the identical row set."""
     n_seen, n_pending = 5_000, 8_000
