@@ -108,6 +108,27 @@ def test_engine_matches_oracle_skew_safe(spark, tmp_catalog_root):
     assert_parity(catalog, oracle)
 
 
+def test_engine_matches_oracle_shuffle_robots(spark, tmp_catalog_root):
+    """Same parity with the robots broadcast gate forced OFF — the
+    web-scale path a >100k-host robots set takes (engine.py
+    _robots_small): the frontier⋈robots theta join runs as a shuffle
+    join with AQE picking the physical strategy. Results must be
+    identical to the broadcast path."""
+    catalog = SnapshotCatalog(spark, tmp_catalog_root)
+    engine = CrawlEngine(
+        spark,
+        catalog,
+        CONFIG,
+        synthetic_fetcher(WORLD),
+        robots_rows=robots_rules(WORLD),
+    )
+    assert engine._robots_small  # the gate would broadcast by default
+    engine._robots_small = False  # force the shuffle-join strategy
+    oracle = OracleCrawler(CONFIG, WORLD).crawl(SEEDS)
+    engine.crawl(SEEDS)
+    assert_parity(catalog, oracle)
+
+
 def test_dedup_property(std_catalog):
     """No url_canon is fetched twice (the declared-but-dead Set of
     reference src/crawler/crawler.py:8, realized)."""
