@@ -163,6 +163,33 @@ def test_engine_parity_with_cuckoo(spark, tmp_catalog_root):
 
 
 @pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
+def test_engine_compacts_filter_table(spark, tmp_catalog_root, kind):
+    """crawl() merges the filter append-table to one row per partition
+    once its delta-directory count passes compact_dirs_threshold —
+    dispatched per filter kind, membership preserved (parity asserted
+    by the crawl itself completing with correct dedup)."""
+    from crawleria_spark.oracle.crawler import OracleCrawler
+    from tests.test_oracle_parity import CONFIG, SEEDS, WORLD, assert_parity, run_engine
+
+    cfg = dataclasses.replace(CONFIG, seen_filter=kind, compact_dirs_threshold=2)
+    oracle = OracleCrawler(CONFIG, WORLD).crawl(SEEDS)
+    catalog = run_engine(spark, tmp_catalog_root, config=cfg, use_bloom=True)
+    assert_parity(catalog, oracle)  # compaction changed no output
+    table = "seen_cuckoo" if kind == "cuckoo" else "seen_bloom"
+    # the threshold (2) is far below the rounds run → compaction fired
+    assert catalog.n_dirs(table) <= 3
+    n_parts = catalog.read(table).select("partition").distinct().count()
+    n_rows = catalog.read(table).count()
+    if kind == "cuckoo":
+        # cuckoo compaction merges to exactly one row per partition
+        assert n_rows <= n_parts + cfg.frontier_partitions
+    assert (
+        catalog.read(table).agg(F.sum("n_items")).collect()[0][0]
+        == catalog.read("seen").count()
+    )
+
+
+@pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
 def test_forget_recrawls_urls(spark, tmp_catalog_root, kind):
     """forget() un-sees URLs and a resumed crawl re-fetches them — via
     O(filter) fingerprint deletion for cuckoo, full rebuild for bloom."""
