@@ -75,6 +75,7 @@ def test_no_row_python_udfs_anywhere(spark, entry):
         "q_url_canonical_doc_id", "q_lang_id", "q_cosine_topk",
         "q_minhash_dup_pairs", "q_simhash_dup_pairs", "q_winnow_dup_pairs",
         "q_ann_lsh_topk", "q_ann_ivf_topk", "q_media_pipeline",
+        "q_dedup_anti_join_cuckoo",
     ]:
         plan = _plan(qs[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
