@@ -97,6 +97,17 @@ def cmd_forget(args, spark) -> dict:
     }
 
 
+def cmd_refresh(args, spark) -> dict:
+    """Bulk TTL re-crawl (CrawlEngine.refresh): un-see every page first
+    fetched more than --max-age-rounds rounds ago and (by default)
+    re-enqueue them stalest-first for the next `crawl --resume`."""
+    engine, catalog = _engine(args, spark)
+    out = engine.refresh(args.max_age_rounds, requeue=not args.no_requeue)
+    out["seen"] = catalog.read("seen").count()
+    out["catalog"] = args.catalog
+    return out
+
+
 def cmd_process(args, spark) -> dict:
     from crawleria_spark.plans.snapshot import SnapshotCatalog
     from crawleria_spark.sources.binary import ingest_media_dir
@@ -219,6 +230,13 @@ def main(argv=None) -> int:
     fg.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom")
     fg.set_defaults(depth=3, max_pages=50, allowed_domains=None)
 
+    rf = sub.add_parser("refresh", help="TTL re-crawl: un-see + re-enqueue "
+                        "pages first fetched more than N rounds ago")
+    rf.add_argument("--max-age-rounds", type=int, required=True)
+    rf.add_argument("--no-requeue", action="store_true")
+    rf.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom")
+    rf.set_defaults(depth=3, max_pages=50, allowed_domains=None)
+
     pr = sub.add_parser("process")
     pr.add_argument("--media-dir", required=True)
     pr.add_argument("--index-name", default="media_index")
@@ -256,6 +274,7 @@ def main(argv=None) -> int:
     result = {
         "crawl": cmd_crawl,
         "forget": cmd_forget,
+        "refresh": cmd_refresh,
         "process": cmd_process,
         "query": cmd_query,
         "pipeline": cmd_pipeline,

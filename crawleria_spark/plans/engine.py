@@ -850,6 +850,70 @@ class CrawlEngine:
         self.catalog.commit(replace=replace, append=append or None, meta=meta)
         return len(present)
 
+    def refresh(self, max_age_rounds: int, requeue: bool = True) -> dict:
+        """Bulk TTL re-crawl: un-see every URL first fetched more than
+        ``max_age_rounds`` rounds ago; with ``requeue`` (default) append
+        them all back onto the frontier in (first_round, url_canon)
+        order with fresh priorities, so subsequent rounds re-fetch the
+        stalest pages first. Robots-denied seen entries expire too —
+        rules may have changed; a still-denied URL is simply re-denied
+        (and re-seen) by its next round.
+
+        The BULK counterpart of forget(): everything stays distributed —
+        the expired set is never collected (at 10^10 URLs a refresh
+        wave can be most of the table). The AMQ filter is REBUILT from
+        the surviving seen rows in one distributed pass rather than
+        deleting expired fingerprints one by one: a wave deletes a
+        large fraction of all keys, where rebuild is O(survivors) and
+        yields a fresh compact filter (both kinds; cuckoo's O(filter)
+        delete remains the right tool for the bounded forget() path).
+        Re-enqueue priorities come from the recompute-safe bucketed
+        ordinal — no single-partition window, no sampling job. One
+        atomic commit; resumable like any round boundary."""
+        from crawleria_spark.functions.urls import host_expr
+        from crawleria_spark.operators.ordinal import bucketed_dense_ordinal
+
+        meta = dict(self.catalog.latest_meta())
+        rnd = int(meta.get("round", -1))
+        cutoff = rnd - max_age_rounds
+        seen = self.catalog.read("seen")
+        expired = seen.filter(F.col("first_round") <= F.lit(cutoff))
+        kept = seen.filter(F.col("first_round") > F.lit(cutoff))
+        n_expired = expired.count()
+        if n_expired == 0:
+            return {"round": rnd, "expired": 0, "requeued": 0}
+        replace: dict[str, DataFrame] = {"seen": kept}
+        if self.use_bloom:
+            filter_table, build_filter, _, _ = self._seen_filter_ops()
+            if self.catalog.exists(filter_table):
+                replace[filter_table] = build_filter(kept.select("url_hash"))
+        append: dict[str, DataFrame] = {}
+        n_requeued = 0
+        if requeue:
+            next_priority = int(meta["next_priority"])
+            ranked = bucketed_dense_ordinal(
+                expired,
+                "first_round",
+                ["first_round", "url_canon"],
+                bound=float(rnd + 1),
+                col_name="__ord",
+                start=next_priority,
+            )
+            append["frontier"] = ranked.select(
+                F.col("url_canon").alias("url"),  # canon is fetchable
+                "url_canon",
+                "url_hash",
+                F.lower(host_expr("url_canon")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.col("__ord").cast("double").alias("priority"),
+                F.lit(rnd).alias("discovered_round"),
+                F.lit(0).alias("salt"),
+            )
+            meta["next_priority"] = next_priority + n_expired
+            n_requeued = n_expired
+        self.catalog.commit(replace=replace, append=append or None, meta=meta)
+        return {"round": rnd, "expired": n_expired, "requeued": n_requeued}
+
     def capture_single_page(self, url: str) -> dict:
         """Reference F10 (``capture_single_page``, src/crawler/crawler.py:
         179-203): fetch ONE URL and append its artifacts; returns the

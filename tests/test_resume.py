@@ -244,3 +244,77 @@ def test_head_limited_dequeue(spark, tmp_path):
     # the cutoff filter reaches the parquet scan (file/row-group pruning)
     plan = cat2.read("frontier").filter(F.col("priority") < 1024.0)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "priority" in plan
+
+
+def test_refresh_ttl_recrawl(spark, tmp_path):
+    """Bulk TTL refresh: URLs first fetched more than max_age_rounds ago
+    are un-seen and re-enqueued stalest-first; a resumed crawl re-fetches
+    exactly them and the seen set converges back to the original."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "refresh")
+    cfg = dataclasses.replace(CONFIG, max_pages=10_000)
+    engine = CrawlEngine(
+        spark,
+        SnapshotCatalog(spark, root),
+        cfg,
+        synthetic_fetcher(WORLD),
+        robots_rows=robots_rules(WORLD),
+        use_bloom=True,
+    )
+    engine.crawl(SEEDS)
+    catalog = engine.catalog
+    rnd = int(catalog.latest_meta()["round"])
+    assert rnd >= 1  # the world spans multiple rounds
+    seen_before = {
+        r["url_canon"]: r["first_round"] for r in catalog.read("seen").collect()
+    }
+    wave = {c for c, fr in seen_before.items() if fr <= 0}
+    assert 0 < len(wave) < len(seen_before)
+    next_priority = int(catalog.latest_meta()["next_priority"])
+
+    # nothing old enough → no-op, no commit
+    v = catalog.latest_version()
+    assert engine.refresh(max_age_rounds=rnd + 10) == {
+        "round": rnd, "expired": 0, "requeued": 0,
+    }
+    assert catalog.latest_version() == v
+
+    # expire the round-0 wave only
+    out = engine.refresh(max_age_rounds=rnd)
+    assert out["expired"] == len(wave) == out["requeued"]
+    seen_mid = {r["url_canon"] for r in catalog.read("seen").collect()}
+    assert seen_mid == set(seen_before) - wave
+    # filter tracks the surviving seen set exactly (rebuilt)
+    n_items = catalog.read("seen_bloom").agg(F.sum("n_items")).collect()[0][0]
+    assert n_items == len(seen_mid)
+    # requeued rows: fresh dense priorities in (first_round, url_canon)
+    # order, host re-derived, depth 0
+    rq = sorted(
+        (r["priority"], r["url_canon"], r["host"], r["depth"])
+        for r in catalog.read("frontier")
+        .filter(F.col("priority") >= next_priority)
+        .collect()
+    )
+    assert len(rq) == len(wave)
+    assert [p for p, *_ in rq] == [float(next_priority + i) for i in range(len(rq))]
+    assert [c for _, c, *_ in rq] == sorted(wave)
+    assert all(d == 0 and h and h in c for _, c, h, d in rq)
+    assert int(catalog.latest_meta()["next_priority"]) == next_priority + len(wave)
+
+    # a resumed crawl re-fetches exactly the expired wave
+    engine.crawl(seeds=None, max_rounds=20)
+    counts = {
+        r["url_canon"]: r["n"]
+        for r in catalog.read("fetch_log")
+        .groupBy("url_canon")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for c in wave:
+        assert counts[c] == 2, c  # original + refresh fetch
+    assert {r["url_canon"] for r in catalog.read("seen").collect()} == set(
+        seen_before
+    )
