@@ -311,18 +311,13 @@ def main_scaling() -> None:
                 )
             rec = json.loads(json_lines[-1])
             rec["load_at_start"] = round(load_at_start, 1)
+            # diagnostic only: 1-min load at end INCLUDES the run's own
+            # cores (a 16-slot run alone reads ~16), so it cannot gate —
+            # it helps spot runs whose end load far exceeds their own
+            # slot count (a concurrent neighbor burst)
             rec["load_at_end"] = round(os.getloadavg()[0], 1)
             runs[cores].append(rec)
-
-    def best(rs: list[dict]) -> dict:
-        # a run that STARTED quiet can still be polluted by a mid-run
-        # neighbor burst (this box's bursts exceed loadavg 20 and
-        # include disk IO loadavg never shows) — prefer runs that also
-        # ENDED under the gate; fall back to all if none did
-        clean = [r for r in rs if r.get("load_at_end", 99) <= max_load + 1]
-        return min(clean or rs, key=lambda r: r["wall_sec"])
-
-    results = {c: best(rs) for c, rs in runs.items()}
+    results = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
     lo, hi = levels[0], levels[-1]
     t_lo, t_hi = results[lo]["urls_per_sec"], results[hi]["urls_per_sec"]
     eff = (t_hi / t_lo) / (hi / lo)
