@@ -199,7 +199,7 @@ def cmd_pipeline(args, spark) -> dict:
     return out
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="crawleria_spark")
     p.add_argument("--catalog", default="/tmp/crawleria_catalog")
     p.add_argument("--cores", type=int, default=None)
@@ -267,7 +267,19 @@ def main(argv=None) -> int:
     pl.add_argument("--index-name", default="media_index")
     pl.add_argument("--pattern", default="*.png")
 
-    args = p.parse_args(argv)
+    # global options are also accepted AFTER the subcommand (the natural
+    # CLI shape: `crawl URL --catalog DIR`). SUPPRESS defaults keep the
+    # subparser pass from clobbering a value given before the subcommand.
+    for sp in sub.choices.values():
+        g = sp.add_argument_group("global options")
+        g.add_argument("--catalog", default=argparse.SUPPRESS)
+        g.add_argument("--cores", type=int, default=argparse.SUPPRESS)
+        g.add_argument("--world-seed", type=int, default=argparse.SUPPRESS)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     from crawleria_spark.session import get_spark
 
     spark = get_spark("crawleria_cli", cores=args.cores)

@@ -3,7 +3,24 @@ crawl / process / query / pipeline subcommands."""
 
 import json
 
-from crawleria_spark.__main__ import main
+from crawleria_spark.__main__ import build_parser, main
+
+
+def test_cli_global_opts_either_side_of_subcommand():
+    """The README documents `crawl URL --catalog DIR`; global options
+    must parse after the subcommand too, without the subparser pass
+    clobbering a value given before it (argparse SUPPRESS defaults)."""
+    p = build_parser()
+    after = p.parse_args(["crawl", "u", "--depth", "2", "--catalog", "/x"])
+    assert after.catalog == "/x" and after.depth == 2
+    before = p.parse_args(["--catalog", "/y", "forget", "u"])
+    assert before.catalog == "/y"
+    neither = p.parse_args(["metrics"])
+    assert neither.catalog == "/tmp/crawleria_catalog"
+    both = p.parse_args(["--catalog", "/a", "refresh",
+                         "--max-age-rounds", "3", "--catalog", "/b"])
+    assert both.catalog == "/b"  # later (subcommand-side) wins
+    assert p.parse_args(["query", "q", "--cores", "4"]).cores == 4
 
 
 def test_cli_crawl_then_query(spark, tmp_path, capsys):
