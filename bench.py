@@ -243,6 +243,12 @@ def crawl_only(level: int, scaling: bool = False) -> dict:
     GC, which is a sandbox artifact, not an engine property)."""
     from crawleria_spark.session import get_spark
 
+    # the single local-mode JVM stands in for a whole cluster's heap:
+    # size it to the frontier (8g per 2M URLs; measured: 8M OOMs at 8g)
+    # unless the caller pinned SPARK_DRIVER_MEM themselves
+    os.environ.setdefault(
+        "SPARK_DRIVER_MEM", f"{max(8, (SCALING_N * 4) // 1_000_000)}g"
+    )
     executor_mode = os.environ.get("SPARK_GRAFT_SCALE_MODE") == "executors"
     if scaling:
         if executor_mode:
