@@ -53,7 +53,7 @@ N_HOSTS = 400
 # Scaling methodology: the JOB SHAPE stays fixed (same partition counts,
 # same input) across the two parallelism levels — on a real cluster you
 # add executors, not rewrite the plan. Only the slot count varies.
-FIXED_PARTITIONS = 64
+FIXED_PARTITIONS = int(os.environ.get("SPARK_GRAFT_FIXED_PARTS", "64"))
 
 
 def _materialize(df) -> int:
