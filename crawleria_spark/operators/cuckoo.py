@@ -81,7 +81,16 @@ CUCKOO_SCHEMA = T.StructType(
 def cuckoo_m_buckets(capacity: int) -> int:
     """Power-of-two bucket count holding `capacity` keys at ≤0.84 load."""
     need = max(16, math.ceil(capacity / (SLOTS * _MAX_LOAD)))
-    return 1 << (need - 1).bit_length()
+    m = 1 << (need - 1).bit_length()
+    # sparse encode/probe store slot positions as uint32 — a silent wrap
+    # at m*SLOTS >= 2^32 would corrupt the filter (false negatives)
+    if m * SLOTS >= 1 << 32:
+        raise ValueError(
+            f"capacity_per_bucket={capacity} needs m*SLOTS={m * SLOTS} >= 2^32 "
+            "slot positions (uint32 encoding would wrap, corrupting the "
+            "filter); raise n_buckets so each bucket holds fewer keys"
+        )
+    return m
 
 
 def _decompose(h: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -370,8 +379,11 @@ def cuckoo_split(
         return pd.Series(out)
 
     flagged = pending.withColumn("__maybe_seen", maybe_seen(F.col(hash_col)))
-    flagged = flagged.persist()  # probed once, read by both splits
     if registry is not None:
+        # persist only when the caller can unpersist (see bloom_split) —
+        # registry-less invocations (oracle queries, tests) trade a
+        # second probe pass for zero leaked cached plans
+        flagged = flagged.persist()
         registry.append(flagged)
     certain_new = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     suspects = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
@@ -410,7 +422,11 @@ def delete_hashes(
     one-occurrence cuckoo delete; cross-delta deletion would not be),
     edits fingerprints driver-side over the bounded merged rows, and
     returns the rewritten filter table. Deleting a never-inserted key
-    raises — cuckoo deletion is only defined for members."""
+    raises — cuckoo deletion is only defined for members. The edit loop
+    is per-key driver Python, so callers with large waves should rebuild
+    instead — CrawlEngine.forget self-enforces this via
+    FORGET_DELETE_MAX (beyond it the filter is rebuilt from the
+    surviving seen rows in one distributed pass, refresh()-style)."""
     spark = cuckoo_df.sparkSession
     h_all = np.unique(np.asarray(list(hashes), dtype=np.int64))
     buckets = np.mod(h_all, n_buckets)

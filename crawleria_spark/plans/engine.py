@@ -128,6 +128,13 @@ METRICS_SCHEMA = T.StructType(
 
 
 class CrawlEngine:
+    # forget() waves above this many present keys skip the cuckoo
+    # per-key deletion (a bounded driver loop, fine for admin-scale
+    # lists) and route through the distributed filter rebuild instead —
+    # at refresh-wave scale the rebuild is O(survivors) of executor
+    # work where delete_hashes would be O(wave) of driver Python
+    FORGET_DELETE_MAX = 100_000
+
     def __init__(
         self,
         spark: SparkSession,
@@ -773,7 +780,10 @@ class CrawlEngine:
         CUCKOO kind DELETES the targets' fingerprints in O(filter
         bytes) (operators/cuckoo.delete_hashes), while the bloom kind
         must REBUILD from the full remaining seen set because blooms
-        cannot delete — and (c) with ``requeue=True`` APPENDs the
+        cannot delete — a forget-heavy deployment should therefore run
+        with ``seen_filter="cuckoo"``; under the default bloom every
+        forget relaunches an O(total-seen) distributed rebuild — and
+        (c) with ``requeue=True`` APPENDs the
         forgotten URLs back onto the frontier as depth-0 rows with
         fresh priorities (else they are only re-fetched if
         re-discovered). Existing documents/fetch_log rows are kept —
@@ -810,7 +820,10 @@ class CrawlEngine:
         if self.use_bloom:
             filter_table, build_filter, _, _ = self._seen_filter_ops()
             if self.catalog.exists(filter_table):
-                if self.config.seen_filter == "cuckoo":
+                if (
+                    self.config.seen_filter == "cuckoo"
+                    and len(present) <= self.FORGET_DELETE_MAX
+                ):
                     from crawleria_spark.operators.cuckoo import delete_hashes
 
                     replace[filter_table] = delete_hashes(
@@ -819,6 +832,10 @@ class CrawlEngine:
                         n_buckets=self.config.frontier_partitions,
                     )
                 else:
+                    # bloom kind (no deletion), or a forget wave too big
+                    # for delete_hashes's per-key driver loop
+                    # (> FORGET_DELETE_MAX keys): distributed rebuild
+                    # from the surviving seen rows, refresh()-style
                     replace[filter_table] = build_filter(
                         new_seen.select("url_hash")
                     )

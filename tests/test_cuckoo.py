@@ -227,3 +227,39 @@ def test_forget_recrawls_urls(spark, tmp_catalog_root, kind):
     assert refetched == 3
     seen_final = {r["url_canon"] for r in catalog.read("seen").collect()}
     assert set(victims) <= seen_final
+
+
+def test_large_forget_routes_through_rebuild(spark, tmp_catalog_root, monkeypatch):
+    """A forget wave above FORGET_DELETE_MAX must NOT run delete_hashes's
+    per-key driver loop even under the cuckoo kind — it rebuilds the
+    filter from the surviving seen rows in one distributed pass."""
+    from crawleria_spark.operators import cuckoo as cuckoo_mod
+    from crawleria_spark.plans.engine import CrawlEngine
+    from crawleria_spark.sources.fetch import synthetic_fetcher
+    from crawleria_spark.synthetic.world import robots_rules
+    from tests.test_oracle_parity import CONFIG, WORLD, run_engine
+
+    cfg = dataclasses.replace(CONFIG, max_pages=10_000, seen_filter="cuckoo")
+    catalog = run_engine(spark, tmp_catalog_root, config=cfg, use_bloom=True)
+    victims = [
+        r["url_canon"]
+        for r in catalog.read("seen").orderBy("url_canon").limit(5).collect()
+    ]
+    engine = CrawlEngine(
+        spark, catalog, cfg, synthetic_fetcher(WORLD),
+        robots_rows=robots_rules(WORLD), use_bloom=True,
+    )
+    monkeypatch.setattr(CrawlEngine, "FORGET_DELETE_MAX", 4)
+
+    def boom(*a, **k):  # the per-key loop must not run beyond the cap
+        raise AssertionError("delete_hashes called for an over-cap wave")
+
+    monkeypatch.setattr(cuckoo_mod, "delete_hashes", boom)
+    assert engine.forget(victims) == 5
+    # the rebuilt filter stays consistent with the surviving seen set
+    assert (
+        catalog.read("seen_cuckoo").agg(F.sum("n_items")).collect()[0][0]
+        == catalog.read("seen").count()
+    )
+    seen_after = {r["url_canon"] for r in catalog.read("seen").collect()}
+    assert not set(victims) & seen_after
