@@ -764,33 +764,19 @@ def q_media_pipeline(spark, sf_dir):
 
 
 def q_winnow_dup_pairs(spark, sf_dir):
-    """Rolling-hash (winnowing) near-dup: explode fingerprints → bucket
-    self-join → pairs sharing >= 40% of the smaller doc's fingerprints.
+    """Rolling-hash (winnowing) near-dup via operators/dedup.winnow_dup_pairs:
+    explode fingerprints → capped fp-bucket self-join → exact-overlap
+    verify; pairs sharing >= 40% of the smaller doc's fingerprints.
     Oracle-checked (r3): the FNV-1a gram fold runs over code points, so
     DuckDB recomputes the identical fingerprints (staged HUGEINT
-    arithmetic + frame-window minima) and replicates the overlap join."""
-    from crawleria_spark.functions.text import winnow_fingerprints_udf
+    arithmetic + frame-window minima) and replicates the overlap join.
+    Like q_minhash, the oracle slice runs effectively unguarded
+    (max_bucket_size=10^9 — the unbounded SQL twin has no star-cap);
+    production corpora use the operator's boilerplate-safe default."""
+    from crawleria_spark.operators.dedup import winnow_dup_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    fps = docs.select(
-        "doc_id", F.explode(winnow_fingerprints_udf("text")).alias("fp")
-    )
-    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
-    l, r = fps.alias("l"), fps.alias("r")
-    shared = (
-        l.join(r, (F.col("l.fp") == F.col("r.fp")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .groupBy(F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b"))
-        .agg(F.countDistinct("l.fp").alias("n_shared"))
-    )
-    return (
-        shared.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n_fp": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n_fp": "nb"}), "id_b")
-        .withColumn(
-            "overlap", F.round(F.col("n_shared") / F.least("na", "nb"), 6)
-        )
-        .filter(F.col("overlap") >= 0.4)
-        .select("id_a", "id_b", "n_shared", "overlap")
-    )
+    return winnow_dup_pairs(docs, min_overlap=0.4, max_bucket_size=10**9)
 
 
 def q_crawl_round(spark, sf_dir):

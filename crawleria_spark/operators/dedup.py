@@ -509,3 +509,52 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (rolling-hash fingerprint) near-dup
+# ---------------------------------------------------------------------------
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_overlap: float = 0.4,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Copy-detection near-dup pairs over winnowing fingerprints
+    (functions/text.py MOSS-style rolling-hash signatures):
+    explode fps → CAPPED fp-bucket self-join for candidates → exact
+    overlap verify on the bounded candidate set.
+
+    ``overlap = |fp(a) ∩ fp(b)| / min(|fp(a)|, |fp(b)|)``; fingerprints
+    are per-doc-distinct by construction (_winnow_one returns a sorted
+    set), so plain counts are distinct counts throughout.
+
+    A fingerprint shared by B boilerplate docs would emit B² join rows
+    unguarded — buckets beyond ``max_bucket_size`` emit a star on the
+    min id instead, the same guard as every LSH path here (connected
+    components preserved; see module doc). The verify stage recomputes
+    the TRUE overlap for each emitted pair, so capping only prunes
+    which pairs are emitted, never their values.
+    """
+    from crawleria_spark.functions.text import winnow_fingerprints_udf
+
+    fps = docs.select(
+        F.col(id_col), F.explode(winnow_fingerprints_udf(text_col)).alias("fp")
+    )
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    cand = _capped_self_join_pairs(fps, ["fp"], id_col, max_bucket_size)
+    shared = (
+        cand.join(fps.withColumnsRenamed({id_col: "id_a"}), "id_a")
+        .join(fps.withColumnsRenamed({id_col: "id_b"}), ["id_b", "fp"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnsRenamed({id_col: "id_a", "n_fp": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_fp": "nb"}), "id_b")
+        .withColumn("overlap", F.round(F.col("n_shared") / F.least("na", "nb"), 6))
+        .filter(F.col("overlap") >= min_overlap)
+        .select("id_a", "id_b", "n_shared", "overlap")
+    )

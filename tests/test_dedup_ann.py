@@ -148,6 +148,45 @@ def test_degenerate_bucket_guard(spark):
     assert any({r["id_a"], r["id_b"]} == {"x_orig", "x_near"} for r in cand)
 
 
+def test_winnow_bucket_guard(spark):
+    """winnow_dup_pairs routes through the same star-cap: a fingerprint
+    shared by B boilerplate docs emits O(B) pairs, not B², while the
+    verify stage still reports EXACT overlap for every emitted pair and
+    a genuine near-dup pair outside the hot class survives."""
+    from crawleria_spark.operators.dedup import winnow_dup_pairs
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod"
+    rows = [(f"b{i:03d}", boiler) for i in range(80)]
+    base = (
+        "spark shuffles partition data across executors by key hash while "
+        "the scheduler assigns tasks to free cores and tracks shuffle files"
+    )
+    rows.append(("x_orig", base))
+    rows.append(("x_near", base.replace("executors", "workers")))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    capped = winnow_dup_pairs(docs, min_overlap=0.4, max_bucket_size=16).collect()
+    boiler_pairs = [r for r in capped if r["id_a"].startswith("b")]
+    assert 0 < len(boiler_pairs) <= 79  # star, not C(80,2)=3160
+    assert all(r["id_a"] == "b000" for r in boiler_pairs)
+    assert all(r["overlap"] == 1.0 for r in boiler_pairs)  # exact verify
+    assert any({r["id_a"], r["id_b"]} == {"x_orig", "x_near"} for r in capped)
+
+    # on a corpus with no oversized bucket, the cap changes nothing
+    # (uncapped-vs-oracle exactness is covered by q_winnow_dup_pairs's
+    # DuckDB oracle, which replays the unguarded join in SQL)
+    small = spark.createDataFrame(rows[-2:], "doc_id string, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"], r["n_shared"], r["overlap"])
+        for r in winnow_dup_pairs(small, max_bucket_size=10**9).collect()
+    }
+    tight = {
+        (r["id_a"], r["id_b"], r["n_shared"], r["overlap"])
+        for r in winnow_dup_pairs(small, max_bucket_size=2).collect()
+    }
+    assert uncapped == tight and uncapped
+
+
 def test_simhash_bucket_guard(spark):
     """Same guard on the simhash band join: identical docs collapse to a
     star, hamming verify still exact."""
