@@ -46,6 +46,18 @@ from pyspark.sql import types as T
 
 _GAMMA = np.uint64(0x9E3779B97F4A7C15)
 
+# Filter-format epoch, stamped into catalog meta ("amq_epoch") whenever a
+# filter table is written. The blobs themselves are raw bit/slot arrays
+# with no version header, so a hashing-scheme change is UNDETECTABLE at
+# probe time — a resumed crawl probing old blobs with new indexes gets
+# false negatives (already-seen URLs re-fetched, duplicate rows). Bump
+# this on ANY change to the bit/fingerprint derivation (covers bloom
+# _indexes and cuckoo _decompose — both build on _mix64); the engine
+# rebuilds stale-epoch filters from the exact seen table at read.
+# Epoch history: 1 = unmixed double hashing (pre-3ab1021); 2 = splitmix64
+# _mix64 decorrelation of indexes from the pmod bucket key.
+FILTER_EPOCH = 2
+
 
 def _mix64(h: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer: decorrelate filter bit indexes from the

@@ -60,6 +60,7 @@ from pyspark.sql import types as T
 
 from crawleria_spark.config import CrawlConfig
 from crawleria_spark.functions.urls import host_expr, url_canon_expr
+from crawleria_spark.operators.bloom import FILTER_EPOCH
 from crawleria_spark.operators.ordinal import bucketed_dense_ordinal, bucketed_limit_by
 from crawleria_spark.plans.snapshot import SnapshotCatalog
 from crawleria_spark.sources.fetch import SPAN_SCHEMA, fetch_stage
@@ -158,6 +159,7 @@ class CrawlEngine:
         # (2 jobs/round) — per-partition lineage metrics stay; the global
         # dedup counters read -1. For throughput-critical deployments.
         self.collect_stats = collect_stats
+        self._kind_warned = False
         self.robots = (
             spark.createDataFrame(
                 [
@@ -185,15 +187,54 @@ class CrawlEngine:
     def _empty(self, schema: T.StructType) -> DataFrame:
         return self.spark.createDataFrame([], schema)
 
+    def _effective_seen_kind(self) -> str:
+        """The AMQ kind this catalog actually holds. The kind is CATALOG
+        state, not per-invocation state: init() persists it in manifest
+        meta, and every later operation (resume / forget / refresh) uses
+        the persisted kind — a `--seen-filter` flag that disagrees with
+        the catalog would otherwise silently skip filter maintenance
+        (catalog.exists('seen_bloom') false under a cuckoo catalog) and
+        drift the filter from the seen table. Pre-meta catalogs are
+        auto-detected from which filter table exists; a disagreeing
+        config warns once and defers to the catalog."""
+        meta = self.catalog.latest_meta() if self.catalog.latest_version() is not None else {}
+        kind = meta.get("seen_filter")
+        if kind is None:  # legacy catalog (or fresh root): detect / config
+            if self.catalog.latest_version() is not None:
+                if self.catalog.exists("seen_cuckoo"):
+                    kind = "cuckoo"
+                elif self.catalog.exists("seen_bloom"):
+                    kind = "bloom"
+            if kind is None:
+                kind = self.config.seen_filter
+        if kind != self.config.seen_filter and not self._kind_warned:
+            self._kind_warned = True
+            print(
+                f"[crawleria] seen_filter={self.config.seen_filter!r} requested "
+                f"but catalog at {self.catalog.root} holds {kind!r} state — "
+                f"using the catalog's kind (re-init to switch kinds)",
+                flush=True,
+            )
+        return kind
+
+    def _carry_meta(self, **updates) -> dict:
+        """Next-commit meta = latest meta + updates. Round commits MUST
+        go through this: meta is replaced wholesale per commit, so a
+        bare dict would silently drop persisted catalog state
+        (seen_filter kind, amq_epoch, future keys)."""
+        meta = dict(self.catalog.latest_meta())
+        meta.update(updates)
+        return meta
+
     def _seen_filter_ops(self):
-        """(table, build_fn, anti_join_fn, compact_fn) for the configured
+        """(table, build_fn, anti_join_fn, compact_fn) for the catalog's
         AMQ seen-filter kind — the north rule's "bloom/cuckoo-filter
         URL-seen set". Both kinds share the delta-append architecture
         (O(delta) row appended per round, executor-side merge at probe,
         bounded driver collect) and the zero-false-negative anti-join
         contract, so the round pipeline is kind-agnostic."""
         cfg = self.config
-        if cfg.seen_filter == "cuckoo":
+        if self._effective_seen_kind() == "cuckoo":
             from crawleria_spark.operators import cuckoo as cf
 
             def build(df: DataFrame) -> DataFrame:
@@ -259,7 +300,18 @@ class CrawlEngine:
                 "metrics": self._empty(METRICS_SCHEMA),
             },
             drop=["seen_bloom", "seen_cuckoo"],
-            meta={"round": -1, "next_priority": next_priority, "fetched_total": 0},
+            meta={
+                "round": -1,
+                "next_priority": next_priority,
+                "fetched_total": 0,
+                # catalog state, carried forward by every later commit:
+                # the AMQ kind this catalog holds (resume/forget/refresh
+                # use it over any per-invocation flag) and the filter
+                # hashing-scheme epoch (stale blobs are undetectable at
+                # probe time — see bloom.FILTER_EPOCH)
+                "seen_filter": cfg.seen_filter,
+                "amq_epoch": FILTER_EPOCH,
+            },
         )
 
     # ----------------------------------------------------------------- round
@@ -276,6 +328,36 @@ class CrawlEngine:
             ],
         )
         return df.filter(cond)
+
+    def _read_filter_checked(self):
+        """(filter_table, anti_join_fn, filter_df | None) for this round's
+        dedup. Before probing, the catalog's ``amq_epoch`` is checked
+        against the current hashing scheme (bloom.FILTER_EPOCH): blobs
+        are raw bit/slot arrays with no version header, so probing an
+        old-epoch filter with new-epoch indexes yields FALSE NEGATIVES —
+        already-seen URLs would re-fetch with duplicate seen/documents
+        rows, undetectably. A stale (or missing, i.e. pre-epoch) stamp
+        triggers a one-time distributed rebuild of the filter from the
+        exact seen table, committed with the fresh stamp."""
+        filter_table, build_filter, anti_join, _ = self._seen_filter_ops()
+        if not (self.use_bloom and self.catalog.exists(filter_table)):
+            return filter_table, anti_join, None
+        if self.catalog.latest_meta().get("amq_epoch") != FILTER_EPOCH:
+            print(
+                f"[crawleria] {filter_table} was written under filter epoch "
+                f"{self.catalog.latest_meta().get('amq_epoch', 1)!r} != current "
+                f"{FILTER_EPOCH} — rebuilding from the exact seen table",
+                flush=True,
+            )
+            self.catalog.commit(
+                replace={
+                    filter_table: build_filter(
+                        self.catalog.read("seen").select("url_hash")
+                    )
+                },
+                meta=self._carry_meta(amq_epoch=FILTER_EPOCH),
+            )
+        return filter_table, anti_join, self.catalog.read(filter_table)
 
     def run_round(self) -> dict:
         """Execute one crawl round against the latest snapshot; commit."""
@@ -304,12 +386,7 @@ class CrawlEngine:
 
         from crawleria_spark.operators.politeness import bucketed_host_rank, per_host_rank
 
-        filter_table, _, anti_join_seen, _ = self._seen_filter_ops()
-        bloom_df = (
-            self.catalog.read(filter_table)
-            if self.use_bloom and self.catalog.exists(filter_table)
-            else None
-        )
+        filter_table, anti_join_seen, bloom_df = self._read_filter_checked()
         round_persists: list = []  # intermediates to release post-commit
         remaining = cfg.max_pages - fetched_total
         if remaining <= 0:
@@ -518,11 +595,11 @@ class CrawlEngine:
             # never by rewriting).
             self.catalog.commit(
                 append={"fetch_log": denied_log, "seen": denied_seen},
-                meta={
-                    "round": rnd,
-                    "next_priority": next_priority,
-                    "fetched_total": fetched_total,
-                },
+                meta=self._carry_meta(
+                    round=rnd,
+                    next_priority=next_priority,
+                    fetched_total=fetched_total,
+                ),
             )
             for df in round_persists:
                 df.unpersist()
@@ -741,11 +818,11 @@ class CrawlEngine:
             append_tables["frontier"] = new_rows
         self.catalog.commit(
             append=append_tables,
-            meta={
-                "round": rnd,
-                "next_priority": next_priority,
-                "fetched_total": fetched_total,
-            },
+            meta=self._carry_meta(
+                round=rnd,
+                next_priority=next_priority,
+                fetched_total=fetched_total,
+            ),
         )
         _tick("commit (all writes)")
         # gross row count (live + not-yet-compacted dequeued rows) — a
@@ -821,8 +898,12 @@ class CrawlEngine:
             filter_table, build_filter, _, _ = self._seen_filter_ops()
             if self.catalog.exists(filter_table):
                 if (
-                    self.config.seen_filter == "cuckoo"
+                    self._effective_seen_kind() == "cuckoo"
                     and len(present) <= self.FORGET_DELETE_MAX
+                    # stale-epoch blobs probe wrong — deletion would
+                    # corrupt silently; rebuild re-stamps instead
+                    and self.catalog.latest_meta().get("amq_epoch")
+                    == FILTER_EPOCH
                 ):
                     from crawleria_spark.operators.cuckoo import delete_hashes
 
@@ -840,6 +921,8 @@ class CrawlEngine:
                         new_seen.select("url_hash")
                     )
         meta = dict(self.catalog.latest_meta())
+        if any(t in replace for t in ("seen_bloom", "seen_cuckoo")):
+            meta["amq_epoch"] = FILTER_EPOCH  # freshly written blobs
         append: dict[str, DataFrame] = {}
         if requeue:
             next_priority = int(meta["next_priority"])
@@ -904,6 +987,7 @@ class CrawlEngine:
             filter_table, build_filter, _, _ = self._seen_filter_ops()
             if self.catalog.exists(filter_table):
                 replace[filter_table] = build_filter(kept.select("url_hash"))
+                meta["amq_epoch"] = FILTER_EPOCH  # freshly written blobs
         append: dict[str, DataFrame] = {}
         n_requeued = 0
         if requeue:
@@ -1006,11 +1090,11 @@ class CrawlEngine:
             append_tables[filter_table] = build_filter(fetched.select("url_hash"))
         self.catalog.commit(
             append=append_tables,
-            meta={
-                "round": rnd,
-                "next_priority": next_priority + 1,
-                "fetched_total": int(meta["fetched_total"]),
-            },
+            meta=self._carry_meta(
+                round=rnd,
+                next_priority=next_priority + 1,
+                fetched_total=int(meta["fetched_total"]),
+            ),
         )
         fetched.unpersist()
         # Filter BOTH reads to the captured url_canon before collecting —

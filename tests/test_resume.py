@@ -56,6 +56,87 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert state_a == state_b
 
 
+def test_stale_filter_epoch_rebuilds(spark, tmp_path):
+    """A catalog whose AMQ blobs predate the current hashing scheme
+    (meta amq_epoch != bloom.FILTER_EPOCH) must be detected at the next
+    probe and rebuilt from the exact seen table. The blobs carry no
+    version header, so without the stamp the mismatch is undetectable:
+    already-seen URLs probe certainly-new, bypass the exact anti-join,
+    and re-fetch as duplicate seen/documents rows. Simulated by
+    replacing the filter with an EMPTY (probe-all-negative) table plus
+    a stale stamp mid-crawl — the resumed run must still equal an
+    uninterrupted one."""
+    from crawleria_spark.operators.bloom import BLOOM_SCHEMA, FILTER_EPOCH
+
+    def mk(root):
+        cat = SnapshotCatalog(spark, root)
+        return CrawlEngine(
+            spark, cat, CONFIG, synthetic_fetcher(WORLD),
+            robots_rows=robots_rules(WORLD), use_bloom=True,
+        ), cat
+
+    root_a = str(tmp_path / "stale")
+    eng, cat = mk(root_a)
+    eng.init(SEEDS)
+    eng.run_round()
+    eng.run_round()
+    meta = dict(cat.latest_meta())
+    meta["amq_epoch"] = 1  # pre-_mix64 catalog
+    cat.commit(
+        replace={"seen_bloom": spark.createDataFrame([], BLOOM_SCHEMA)},
+        meta=meta,
+    )
+    resumed, _ = mk(root_a)
+    resumed.crawl(seeds=None, max_rounds=20)
+    assert cat.latest_meta()["amq_epoch"] == FILTER_EPOCH  # re-stamped
+
+    root_b = str(tmp_path / "stale_full")
+    eng_b, cat_b = mk(root_b)
+    eng_b.crawl(SEEDS, max_rounds=20)
+    assert _final_state(cat) == _final_state(cat_b)  # no duplicate rows
+
+
+def test_seen_filter_kind_is_catalog_state(spark, tmp_path):
+    """The AMQ kind is persisted at init and wins over a disagreeing
+    later invocation: resuming / forgetting a cuckoo catalog with a
+    default-bloom config must keep maintaining the CUCKOO filter
+    (ADVICE r3: the per-invocation flag silently skipped filter
+    bookkeeping when it disagreed with the catalog)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "kind")
+    cat = SnapshotCatalog(spark, root)
+    cfg_cuckoo = dataclasses.replace(CONFIG, seen_filter="cuckoo", max_pages=12)
+    eng = CrawlEngine(
+        spark, cat, cfg_cuckoo, synthetic_fetcher(WORLD),
+        robots_rows=robots_rules(WORLD), use_bloom=True,
+    )
+    eng.init(SEEDS)
+    eng.run_round()
+    assert cat.latest_meta()["seen_filter"] == "cuckoo"
+
+    # resumed under the DEFAULT (bloom) config — catalog kind wins
+    eng2 = CrawlEngine(
+        spark, cat, CONFIG, synthetic_fetcher(WORLD),
+        robots_rows=robots_rules(WORLD), use_bloom=True,
+    )
+    eng2.crawl(seeds=None, max_rounds=10)
+    assert cat.exists("seen_cuckoo") and not cat.exists("seen_bloom")
+    assert cat.latest_meta()["seen_filter"] == "cuckoo"
+    n_items = cat.read("seen_cuckoo").agg(F.sum("n_items")).collect()[0][0]
+    assert n_items == cat.read("seen").count()  # bookkeeping never skipped
+
+    victims = [
+        r["url_canon"]
+        for r in cat.read("seen").orderBy("url_canon").limit(2).collect()
+    ]
+    assert eng2.forget(victims) == 2  # maintains the cuckoo filter too
+    n_items = cat.read("seen_cuckoo").agg(F.sum("n_items")).collect()[0][0]
+    assert n_items == cat.read("seen").count()
+
+
 def test_round_commit_is_atomic(spark, tmp_path):
     """Manifest versions advance one per round; every version is readable
     (a reader never observes a partial commit)."""
