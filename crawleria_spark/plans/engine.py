@@ -1141,9 +1141,24 @@ class CrawlEngine:
             if st["stopped"]:
                 break
             # bound file-listing growth of append tables on long crawls
-            for table in ("seen", "host_seq"):
-                if self.catalog.n_dirs(table) > self.config.compact_dirs_threshold:
-                    self.catalog.compact(table)
+            if self.catalog.n_dirs("seen") > self.config.compact_dirs_threshold:
+                self.catalog.compact("seen")
+            # host_seq compacts to the RUNNING PER-HOST TOTALS (one row
+            # per host), not a concatenation of the delta rows: rounds
+            # only ever consume sum(n_fetched) per host, so the next
+            # round's aggregate reads O(distinct hosts) compacted totals
+            # + O(recent rounds) un-compacted deltas instead of the full
+            # per-round delta history (r3 verdict: that input grew with
+            # crawl breadth × round count)
+            if self.catalog.n_dirs("host_seq") > self.config.compact_dirs_threshold:
+                totals = (
+                    self.catalog.read("host_seq")
+                    .groupBy("host")
+                    .agg(F.sum("n_fetched").cast("long").alias("n_fetched"))
+                )
+                self.catalog.commit(
+                    replace={"host_seq": totals}, meta=self.catalog.latest_meta()
+                )
             # the frontier compacts to its LIVE set (gross ∖ seen): the
             # append-only re-enqueue leaves dequeued rows in place until
             # this periodic rewrite reclaims them — one O(live) write

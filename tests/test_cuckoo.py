@@ -187,6 +187,16 @@ def test_engine_compacts_filter_table(spark, tmp_catalog_root, kind):
         catalog.read(table).agg(F.sum("n_items")).collect()[0][0]
         == catalog.read("seen").count()
     )
+    # host_seq compacts to RUNNING PER-HOST TOTALS (r4): row count stays
+    # O(distinct hosts + rounds since last compaction), and the totals
+    # still equal the fetched row count per host
+    hs = catalog.read("host_seq")
+    n_hosts = hs.select("host").distinct().count()
+    assert hs.count() <= n_hosts * (cfg.compact_dirs_threshold + 2)
+    assert (
+        hs.agg(F.sum("n_fetched")).collect()[0][0]
+        == catalog.read("fetch_log").filter("status in ('ok','error')").count()
+    )
 
 
 @pytest.mark.parametrize("kind", ["cuckoo", "bloom"])
