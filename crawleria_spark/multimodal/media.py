@@ -7,12 +7,16 @@ config/config.py:47). Re-expressed for Spark: media travels as a
 feature-extract / frame-sample run as Arrow-batched ``mapInPandas``
 stages over partition-local batches.
 
-The actual codec step is STUBBED in this container (no PIL/ffmpeg):
-``decode_media`` tries the real decoder behind an import-guard and
-otherwise uses a deterministic fake (dimensions/duration derived from a
-hash of the bytes) — clearly marked. Everything Spark-side (schemas,
-batch shapes, partitioning, UDF signatures, null handling) is real and
-tested; swapping in a real decoder changes only the inner function.
+Codec layering (container has no PIL/ffmpeg): ``decode_media`` tries
+PIL behind an import-guard, then the VENDORED pure-Python codecs
+(multimodal/codecs.py) — real header decode for png/gif/jpeg/bmp/ppm
+and real pixel decode/resize/re-encode for the uncompressed formats —
+so a genuine decode path executes even here. Only bytes matching no
+known image magic fall through to the clearly-marked deterministic
+fake (dimensions/duration derived from a hash of the bytes; the
+q_media_pipeline oracle pins that path by passing try_real=False).
+Everything Spark-side (schemas, batch shapes, partitioning, UDF
+signatures, null handling) is real and tested.
 """
 
 from __future__ import annotations
@@ -41,7 +45,11 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def _try_real_image_decode(data: bytes):
-    """Real decoder, only if PIL is importable (not in this container)."""
+    """Real decoder: PIL when importable, else the vendored pure-Python
+    header codecs (multimodal/codecs.py — png/gif/jpeg/bmp/ppm true
+    dimensions from the file's own bytes). Returns None only when the
+    bytes match no known image magic (caller falls back to the marked
+    fake); recognized-but-corrupt bytes yield a decode_error row."""
     try:
         import io
 
@@ -50,7 +58,12 @@ def _try_real_image_decode(data: bytes):
         img = Image.open(io.BytesIO(data))
         return {"format": img.format.lower(), "width": img.width, "height": img.height}
     except ImportError:
-        return None
+        from crawleria_spark.multimodal.codecs import CodecError, parse_image_header
+
+        try:
+            return parse_image_header(data)
+        except CodecError as e:
+            return {"decode_error": f"{type(e).__name__}: {e}"}
     except Exception as e:  # decodable-but-corrupt: error row, don't raise
         return {"decode_error": f"{type(e).__name__}: {e}"}
 
@@ -120,11 +133,19 @@ def resize_images(
     df: DataFrame,
     max_width: int = 1920,
     bytes_col: str = "content",
+    reencode: bool = False,
 ) -> DataFrame:
     """Reference P4 downscale (processor.py:61-64): images wider than
-    max_width get scaled preserving aspect ratio. STUB: recomputes the
-    target dimensions for real; byte re-encoding needs a codec, so the
-    payload passes through unchanged with `resized` marking intent."""
+    max_width get scaled preserving aspect ratio.
+
+    Target dimensions are always computed for real. With
+    ``reencode=True`` the payload is ALSO resized for real wherever the
+    vendored pure-Python codecs can decode pixels (uncompressed 24-bit
+    BMP, P6 PPM — codecs.py): decode → nearest-neighbor resample →
+    re-encode, with ``reencoded`` marking which rows carry new bytes;
+    compressed formats (png/jpeg/gif) pass through unchanged (their
+    re-encode needs a real codec lib). The default leaves every payload
+    untouched — the oracle-pinned q_media_pipeline path."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -132,9 +153,18 @@ def resize_images(
             T.StructField("target_height", T.IntegerType()),
             T.StructField("resized", T.BooleanType()),
         ]
+        + ([T.StructField("reencoded", T.BooleanType())] if reencode else [])
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if reencode:
+            from crawleria_spark.multimodal.codecs import (
+                CodecError,
+                decode_pixels,
+                encode_bmp,
+                encode_ppm,
+                resize_nearest,
+            )
         for pdf in batches:
             tw, th, rs = [], [], []
             for meta in pdf["meta"]:
@@ -146,7 +176,26 @@ def resize_images(
                     tw.append(max_width), th.append(int(h * scale)), rs.append(True)
                 else:
                     tw.append(w), th.append(h), rs.append(False)
-            yield pdf.assign(target_width=tw, target_height=th, resized=rs)
+            out = pdf.assign(target_width=tw, target_height=th, resized=rs)
+            if reencode:
+                payloads, done = [], []
+                for data, needs, w2, h2 in zip(
+                    pdf[bytes_col], rs, tw, th
+                ):
+                    new = None
+                    if needs and data is not None:
+                        try:
+                            arr = decode_pixels(bytes(data))
+                        except CodecError:
+                            arr = None  # corrupt: keep original payload
+                        if arr is not None:
+                            resized_arr = resize_nearest(arr, int(w2), int(h2))
+                            enc = encode_bmp if bytes(data)[:2] == b"BM" else encode_ppm
+                            new = enc(resized_arr)
+                    payloads.append(new if new is not None else data)
+                    done.append(new is not None)
+                out = out.assign(**{bytes_col: payloads}, reencoded=done)
+            yield out
 
     return df.mapInPandas(run, schema=out_schema)
 

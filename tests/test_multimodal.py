@@ -82,20 +82,40 @@ def test_encode_for_llm(spark):
         assert base64.b64decode(r["b64"]) == bytes(r["content"])
 
 
-def test_real_pil_decode_path(spark):
-    import pytest
-    """Exercise the real-PIL decode branch (S10/P4) wherever PIL exists:
-    a tiny in-process PNG must decode to its true dimensions, and the
-    resize plan must honor them. Skipped in codec-less containers — the
-    import-guard there is covered by test_decode_media's stub path."""
-    PIL_Image = pytest.importorskip("PIL.Image")
-    import io
+def _make_png(w: int, h: int) -> bytes:
+    """Valid in-process PNG (zlib+struct only — no codec lib needed)."""
+    import struct
+    import zlib
 
-    buf = io.BytesIO()
-    PIL_Image.new("RGB", (2400, 600), color=(1, 2, 3)).save(buf, format="PNG")
-    png = buf.getvalue()
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x01\x02\x03" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decode_path(spark):
+    """A REAL decode executes in-container (S10/P4): a valid in-process
+    PNG decodes to its true header dimensions — via PIL where importable,
+    else via the vendored pure-Python codecs — and the resize plan
+    honors them. Magic-matched-but-corrupt bytes yield an error row on
+    either branch; magic-less bytes keep the marked fake path (covered
+    by test_decode_media)."""
+    png = _make_png(2400, 600)
+    corrupt = b"\x89PNG\r\n\x1a\n" + b"garbage after the signature"
     df = spark.createDataFrame(
-        [("p1", "image", bytearray(png)), ("p2", "image", bytearray(b"not a png"))],
+        [("p1", "image", bytearray(png)), ("p2", "image", bytearray(corrupt))],
         "media_id string, media_type string, content binary",
     )
     out = {r["media_id"]: r for r in resize_images(decode_media(df), max_width=1920).collect()}
@@ -107,3 +127,90 @@ def test_real_pil_decode_path(spark):
     # corrupt bytes → error row, not a task failure
     assert out["p2"]["meta"]["decode_error"] is not None
     assert out["p2"]["resized"] is False
+
+
+def test_vendored_header_codecs():
+    """Unit layer: true dimensions from real header bytes for every
+    vendored format, and CodecError (not a silent fake) on matched-but-
+    corrupt bytes."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from crawleria_spark.multimodal.codecs import (
+        CodecError,
+        encode_bmp,
+        encode_ppm,
+        parse_image_header,
+    )
+
+    assert parse_image_header(_make_png(31, 17)) == {
+        "format": "png", "width": 31, "height": 17,
+    }
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    assert parse_image_header(gif) == {"format": "gif", "width": 320, "height": 200}
+    # minimal JPEG: SOI, APP0 (skipped), SOF0 with (h=480, w=640)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 7) + b"\x08" + struct.pack(">HH", 480, 640)
+    )
+    assert parse_image_header(jpeg) == {"format": "jpeg", "width": 640, "height": 480}
+    arr = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    assert parse_image_header(encode_bmp(arr)) == {
+        "format": "bmp", "width": 5, "height": 4,
+    }
+    assert parse_image_header(encode_ppm(arr)) == {
+        "format": "ppm", "width": 5, "height": 4,
+    }
+    assert parse_image_header(b"ordinary page text") is None  # no magic
+    with pytest.raises(CodecError):
+        parse_image_header(b"\x89PNG\r\n\x1a\nbad")
+    with pytest.raises(CodecError):
+        parse_image_header(b"\xff\xd8\xff\xd9")  # EOI before any SOF
+
+
+def test_real_resize_reencode(spark):
+    """P4 executes END-TO-END on real bytes in-container for the
+    uncompressed formats: BMP/PPM payloads wider than max_width are
+    pixel-decoded, nearest-neighbor resampled, re-encoded — decoding
+    the OUTPUT bytes yields the target dimensions. Compressed formats
+    pass through (header-real, payload unchanged)."""
+    import numpy as np
+
+    from crawleria_spark.multimodal.codecs import (
+        decode_pixels,
+        encode_bmp,
+        encode_ppm,
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(0)
+    wide = rng.integers(0, 256, size=(60, 240, 3), dtype=np.uint8)
+    rows = [
+        ("bmp_wide", "image", bytearray(encode_bmp(wide))),
+        ("ppm_wide", "image", bytearray(encode_ppm(wide))),
+        ("png_wide", "image", bytearray(_make_png(240, 60))),
+        ("ppm_ok", "image", bytearray(encode_ppm(wide[:, :100]))),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media_type string, content binary")
+    out = {
+        r["media_id"]: r
+        for r in resize_images(decode_media(df), max_width=120, reencode=True).collect()
+    }
+    for mid in ("bmp_wide", "ppm_wide"):
+        r = out[mid]
+        assert r["resized"] and r["reencoded"]
+        meta2 = parse_image_header(bytes(r["content"]))
+        assert (meta2["width"], meta2["height"]) == (120, 30)
+        assert decode_pixels(bytes(r["content"])).shape == (30, 120, 3)
+    # nearest-neighbor resample is deterministic: spot-check one pixel
+    resampled = decode_pixels(bytes(out["ppm_wide"]["content"]))
+    assert (resampled[0, 0] == wide[0, 0]).all()
+    # compressed format: resize plan computed, payload passes through
+    png_row = out["png_wide"]
+    assert png_row["resized"] and not png_row["reencoded"]
+    assert bytes(png_row["content"]) == bytes(_make_png(240, 60))
+    # narrow image untouched
+    assert not out["ppm_ok"]["resized"] and not out["ppm_ok"]["reencoded"]
