@@ -134,7 +134,12 @@ def build_crawl_state(spark, catalog, cfg, n_frontier=None):
             "fetch_log": empty(FETCH_LOG_SCHEMA),
             "metrics": empty(METRICS_SCHEMA),
         },
-        meta={"round": -1, "next_priority": n_frontier, "fetched_total": 0},
+        meta={
+            "round": -1,
+            "next_priority": n_frontier,
+            "fetched_total": 0,
+            "seen_filter": cfg.seen_filter,
+        },
     )
 
 
@@ -209,8 +214,104 @@ def bench_crawl_round(spark, cores: int, use_bloom: bool = True, skew_safe: bool
             "urls_per_sec": round(n_frontier / wall, 1),
             "urls_per_sec_per_core": round(n_frontier / wall / cores, 1),
             "cores": cores,
+            "skew_safe": skew_safe,
+            "seen_filter": cfg.seen_filter,
             # per-stage decomposition (same labels as CRAWLERIA_PROFILE)
             "stage_walls": st.get("stage_walls", {}),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def bench_crawl_multiround(
+    spark,
+    cores: int,
+    n_frontier: int | None = None,
+    rounds: int = 4,
+    pipeline: bool = True,
+    fixed_partitions: int | None = None,
+    warm: bool = True,
+):
+    """R rounds over ONE prebuilt frontier via crawl() — the honest
+    measurement of PIPELINED COMMITS (round r's parquet writes overlap
+    round r+1's compute; crawl() flushes before returning, so the clock
+    stops only when everything is durable). Rounds are forced by the
+    per-host concurrency cap: the hub host (30% of URLs) needs `rounds`
+    passes at cap = hub_pages/rounds; every other host finishes in
+    round 1. Single-round bench_crawl_round stays the scaling-battery
+    default for comparability with the r2/r3 history."""
+    import math
+    import shutil
+    import tempfile
+
+    from crawleria_spark.config import CrawlConfig
+    from crawleria_spark.plans.engine import CrawlEngine
+    from crawleria_spark.plans.snapshot import SnapshotCatalog
+    from crawleria_spark.sources.fetch import synthetic_fetcher
+    from crawleria_spark.synthetic.world import WorldConfig
+
+    base_dir = None
+    if os.environ.get("SPARK_GRAFT_BENCH_DIR") == "tmpfs" and os.path.isdir("/dev/shm"):
+        base_dir = "/dev/shm"
+    root = tempfile.mkdtemp(prefix="bench_crawlR_", dir=base_dir)
+    try:
+        n_frontier = n_frontier or N_FRONTIER
+        # cap sized off the hub's LIVE pages (SEEN_FRAC of the frontier,
+        # hub included, is pre-seen) so the crawl runs exactly `rounds`
+        hub_live = math.ceil(n_frontier * 0.3 * (1 - SEEN_FRAC))
+        cfg = CrawlConfig(
+            max_depth=0,
+            max_pages=10**9,
+            max_concurrent_per_host=max(1, math.ceil(hub_live / rounds)),
+            frontier_partitions=fixed_partitions or max(cores, 8),
+            seen_filter=os.environ.get("SPARK_GRAFT_SEEN_FILTER", "bloom"),
+        )
+        world = WorldConfig(seed=42, n_hosts=N_HOSTS, error_rate=0.02)
+
+        def make_engine(sub: str, n: int) -> CrawlEngine:
+            catalog = SnapshotCatalog(spark, os.path.join(root, sub))
+            build_crawl_state(spark, catalog, cfg, n)
+            return CrawlEngine(
+                spark,
+                catalog,
+                cfg,
+                synthetic_fetcher(world),
+                robots_rows=[],
+                use_bloom=True,
+                skew_safe=True,
+                collect_stats=False,
+                pipeline_commits=pipeline,
+            )
+
+        if warm:
+            make_engine("warm", max(2000, n_frontier // 1000)).crawl(
+                seeds=None, max_rounds=2
+            )
+        engine = make_engine("timed", n_frontier)
+        t0 = time.time()
+        stats = engine.crawl(seeds=None, max_rounds=rounds)
+        wall = time.time() - t0
+        fetched = sum(s["n_fetched"] for s in stats)
+        commit_keys = (
+            "commit (all writes)", "commit (launch async)",
+            "commit barrier (prev round)",
+        )
+        commit_wall = sum(
+            s.get("stage_walls", {}).get(k, 0.0) for s in stats for k in commit_keys
+        )
+        return {
+            "n_frontier": n_frontier,
+            "rounds": len(stats),
+            "pipeline_commits": pipeline,
+            "n_fetched": fetched,
+            "wall_sec": round(wall, 3),
+            "urls_per_sec": round(n_frontier / wall, 1),
+            "urls_per_sec_per_core": round(n_frontier / wall / cores, 1),
+            "cores": cores,
+            # serial commit exposure on the critical path: barrier waits
+            # + launch (pipelined) or full write walls (blocking)
+            "commit_wall_on_critical_path_sec": round(commit_wall, 3),
+            "round_walls": [s.get("stage_walls", {}) for s in stats],
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -263,14 +364,104 @@ def crawl_only(level: int, scaling: bool = False) -> dict:
                 f"bench_scale_{level}", cores=level,
                 shuffle_partitions=FIXED_PARTITIONS,
             )
-        out = bench_crawl_round(
-            spark, total_cores, n_frontier=SCALING_N, fixed_partitions=FIXED_PARTITIONS
-        )
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "1"))
+        if rounds > 1:
+            # multi-round crawl: the pipelined-commit overlap is real
+            # (and honestly timed — crawl flushes before returning)
+            out = bench_crawl_multiround(
+                spark, total_cores, n_frontier=SCALING_N, rounds=rounds,
+                fixed_partitions=FIXED_PARTITIONS,
+                pipeline=os.environ.get("SPARK_GRAFT_PIPELINE", "1") != "0",
+            )
+        else:
+            out = bench_crawl_round(
+                spark, total_cores, n_frontier=SCALING_N,
+                fixed_partitions=FIXED_PARTITIONS,
+                skew_safe=os.environ.get("SPARK_GRAFT_SKEW_SAFE", "1") != "0",
+            )
         out["mode"] = "executors" if executor_mode else "threads"
         out["level"] = level
         return out
     spark = get_spark(f"bench_scale_{level}", cores=level)
     return bench_crawl_round(spark, level)
+
+
+def wait_for_quiet() -> float:
+    """External tenants burst to loadavg >20 on this box; a 32-slot
+    run under that load measures the neighbors, not this engine.
+    Wait (bounded) for a quiet window; record the load we ran at."""
+    max_load = float(os.environ.get("SPARK_GRAFT_SCALE_MAX_LOAD", "4"))
+    max_wait_s = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_WAIT", "600"))
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        load1 = os.getloadavg()[0]
+        if load1 < max_load:
+            return load1
+        time.sleep(15)
+    return os.getloadavg()[0]
+
+
+def _crawl_subprocess(cores: int, extra_env: dict[str, str]) -> dict:
+    """One load-gated crawl-only run in a fresh JVM subprocess."""
+    load_at_start = wait_for_quiet()
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores), **extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--crawl-only",
+         str(cores), "--for-scaling"],
+        capture_output=True, text=True, env=env, timeout=3000,
+    )
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not json_lines:
+        raise RuntimeError(
+            f"crawl-only subprocess (cores={cores}) produced no JSON; "
+            f"rc={out.returncode}, stderr tail: {out.stderr[-800:]}"
+        )
+    rec = json.loads(json_lines[-1])
+    rec["load_at_start"] = round(load_at_start, 1)
+    # diagnostic only: 1-min load at end INCLUDES the run's own cores
+    rec["load_at_end"] = round(os.getloadavg()[0], 1)
+    return rec
+
+
+AB_VARIANTS = {
+    # one knob per battery; everything else identical, runs interleaved
+    "skew": {"skew_safe": {"SPARK_GRAFT_SKEW_SAFE": "1"},
+             "plain_rank": {"SPARK_GRAFT_SKEW_SAFE": "0"}},
+    "filter": {"bloom": {"SPARK_GRAFT_SEEN_FILTER": "bloom"},
+               "cuckoo": {"SPARK_GRAFT_SEEN_FILTER": "cuckoo"}},
+    "pipeline": {"pipelined": {"SPARK_GRAFT_PIPELINE": "1",
+                               "SPARK_GRAFT_SCALE_ROUNDS": "4"},
+                 "blocking": {"SPARK_GRAFT_PIPELINE": "0",
+                              "SPARK_GRAFT_SCALE_ROUNDS": "4"}},
+}
+
+
+def main_ab(battery: str) -> None:
+    """Interleaved A/B at ONE parallelism level (SPARK_GRAFT_CPUS,
+    default 32 threads): the two variants differ by exactly one engine
+    knob and alternate within the same load windows — the only
+    defensible comparison on this shared box (see BENCH/BASELINE.md
+    measurement policy). Reports min-wall per variant + all runs."""
+    variants = AB_VARIANTS[battery]
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    runs: dict[str, list[dict]] = {v: [] for v in variants}
+    for _ in range(repeats):
+        for name, env in variants.items():
+            runs[name].append(_crawl_subprocess(cores, env))
+    results = {v: min(rs, key=lambda r: r["wall_sec"]) for v, rs in runs.items()}
+    report = {
+        "battery": battery,
+        "cores": cores,
+        "n": SCALING_N,
+        **{f"{v}_urls_per_sec": results[v]["urls_per_sec"] for v in variants},
+        "detail": {"results": results, "runs": runs},
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"\n<!-- bench.py --ab {battery} run -->\n```json\n")
+        f.write(json.dumps(report) + "\n```\n")
 
 
 def main_scaling() -> None:
@@ -279,20 +470,6 @@ def main_scaling() -> None:
     load-gated and INTERLEAVED; each level reports its least-contended
     (min-wall) run; all runs are kept in `detail.runs`."""
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
-    max_load = float(os.environ.get("SPARK_GRAFT_SCALE_MAX_LOAD", "4"))
-    max_wait_s = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_WAIT", "600"))
-
-    def wait_for_quiet() -> float:
-        """External tenants burst to loadavg >20 on this box; a 32-slot
-        run under that load measures the neighbors, not this engine.
-        Wait (bounded) for a quiet window; record the load we ran at."""
-        deadline = time.time() + max_wait_s
-        while time.time() < deadline:
-            load1 = os.getloadavg()[0]
-            if load1 < max_load:
-                return load1
-            time.sleep(15)
-        return os.getloadavg()[0]
 
     levels = tuple(
         int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
@@ -300,29 +477,7 @@ def main_scaling() -> None:
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(repeats):
         for cores in levels:
-            load_at_start = wait_for_quiet()
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--crawl-only", str(cores), "--for-scaling"],
-                capture_output=True,
-                text=True,
-                env=env,
-                timeout=3000,
-            )
-            json_lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
-            if not json_lines:
-                raise RuntimeError(
-                    f"crawl-only subprocess (cores={cores}) produced no JSON; "
-                    f"rc={out.returncode}, stderr tail: {out.stderr[-800:]}"
-                )
-            rec = json.loads(json_lines[-1])
-            rec["load_at_start"] = round(load_at_start, 1)
-            # diagnostic only: 1-min load at end INCLUDES the run's own
-            # cores (a 16-slot run alone reads ~16), so it cannot gate —
-            # it helps spot runs whose end load far exceeds their own
-            # slot count (a concurrent neighbor burst)
-            rec["load_at_end"] = round(os.getloadavg()[0], 1)
-            runs[cores].append(rec)
+            runs[cores].append(_crawl_subprocess(cores, {}))
     results = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
     lo, hi = levels[0], levels[-1]
     t_lo, t_hi = results[lo]["urls_per_sec"], results[hi]["urls_per_sec"]
@@ -349,5 +504,7 @@ if __name__ == "__main__":
         print(json.dumps(crawl_only(cores, scaling="--for-scaling" in sys.argv)))
     elif "--scaling" in sys.argv:
         main_scaling()
+    elif "--ab" in sys.argv:
+        main_ab(sys.argv[sys.argv.index("--ab") + 1])
     else:
         print(json.dumps(main_single()))

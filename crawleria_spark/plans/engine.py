@@ -147,6 +147,7 @@ class CrawlEngine:
         use_bloom: bool = False,
         simulate_wallclock: bool = False,
         collect_stats: bool = True,
+        pipeline_commits: bool = True,
     ):
         self.spark = spark
         self.catalog = catalog
@@ -159,6 +160,16 @@ class CrawlEngine:
         # (2 jobs/round) — per-partition lineage metrics stay; the global
         # dedup counters read -1. For throughput-critical deployments.
         self.collect_stats = collect_stats
+        # pipeline_commits=True (default) lets crawl() overlap round r's
+        # parquet commit writes with round r+1's dequeue/fetch compute —
+        # the r3-measured ~2.6 s/round commit wall moves off the serial
+        # critical path. run_round() stays BLOCKING unless its caller
+        # passes async_commit=True; crawl() manages the barrier (flush)
+        # so every external contract (atomic manifests, kill-resume,
+        # direct run_round calls) is unchanged.
+        self.pipeline_commits = pipeline_commits
+        self._pending: dict | None = None  # in-flight round commit
+        self._commit_pool = None
         self._kind_warned = False
         self.robots = (
             spark.createDataFrame(
@@ -222,9 +233,77 @@ class CrawlEngine:
         go through this: meta is replaced wholesale per commit, so a
         bare dict would silently drop persisted catalog state
         (seen_filter kind, amq_epoch, future keys)."""
-        meta = dict(self.catalog.latest_meta())
+        meta = self._latest_meta()
         meta.update(updates)
         return meta
+
+    # ------------------------------------------------- pipelined commits
+
+    def _latest_meta(self) -> dict:
+        """Logical latest meta: the in-flight round's (pipelined commit
+        pending) or the durable manifest's."""
+        if self._pending is not None:
+            return dict(self._pending["meta"])
+        return dict(self.catalog.latest_meta())
+
+    def _read_state(self, table: str) -> DataFrame:
+        """Catalog table overlaid with the in-flight round's delta: with
+        a pipelined commit pending, readers see the logical post-round
+        state — the PRE-COMMIT manifest's dirs ∪ the round's in-memory
+        delta. The base is pinned to the version captured at launch
+        (read_as_of): the background commit can land at ANY moment, and
+        `latest ∪ delta` would then double-apply the delta (caught as a
+        seq_in_host shift in the pipelined-vs-blocking parity drive)."""
+        if self._pending is None:
+            return self.catalog.read(table)
+        v = self._pending["base_version"]
+        base = (
+            self.catalog.read_as_of(table, v)
+            if self.catalog.exists_as_of(table, v)
+            else None
+        )
+        delta = self._pending["append"].get(table)
+        if delta is not None:
+            base = delta if base is None else base.unionByName(delta)
+        if base is None:
+            raise KeyError(f"table {table!r} not in catalog or pending commit")
+        return base
+
+    def _n_dirs_logical(self, table: str) -> int:
+        """Append-dir count INCLUDING the in-flight round's append, from
+        the pinned base version — keeps compaction-threshold timing
+        identical between pipelined and blocking crawls (the durable
+        manifest alone lags the logical state by one round while a
+        commit is in flight, and may or may not include it depending on
+        when the background write lands)."""
+        if self._pending is None:
+            return self.catalog.n_dirs(table)
+        n = self.catalog.n_dirs_as_of(table, self._pending["base_version"])
+        return n + (1 if table in self._pending["append"] else 0)
+
+    def _commit_executor(self):
+        if self._commit_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._commit_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="round-commit"
+            )
+        return self._commit_pool
+
+    def flush(self) -> None:
+        """Barrier for the pipelined round commit: wait until the
+        in-flight commit (if any) is durable, then release its caches.
+        EVERY other commit path (the next round's commit, compactions,
+        forget/refresh/capture, the epoch rebuild) calls this first, so
+        manifest versions stay strictly ordered and atomic exactly as in
+        blocking mode — pipelining only moves WHEN the writes run, never
+        what a committed manifest contains."""
+        p, self._pending = self._pending, None
+        if p is None:
+            return
+        p["future"].result()
+        for df in p["persists"]:
+            df.unpersist()
 
     def _seen_filter_ops(self):
         """(table, build_fn, anti_join_fn, compact_fn) for the catalog's
@@ -264,6 +343,7 @@ class CrawlEngine:
         priority = seed ordinal. Domain-filtered seeds do not consume
         ordinals (oracle parity).
         """
+        self.flush()
         cfg = self.config
         rows, next_priority = [], 0
         from urllib.parse import urlparse
@@ -340,15 +420,19 @@ class CrawlEngine:
         triggers a one-time distributed rebuild of the filter from the
         exact seen table, committed with the fresh stamp."""
         filter_table, build_filter, anti_join, _ = self._seen_filter_ops()
-        if not (self.use_bloom and self.catalog.exists(filter_table)):
+        has_delta = (
+            self._pending is not None and filter_table in self._pending["append"]
+        )
+        if not (self.use_bloom and (self.catalog.exists(filter_table) or has_delta)):
             return filter_table, anti_join, None
-        if self.catalog.latest_meta().get("amq_epoch") != FILTER_EPOCH:
+        if self._latest_meta().get("amq_epoch") != FILTER_EPOCH:
             print(
                 f"[crawleria] {filter_table} was written under filter epoch "
-                f"{self.catalog.latest_meta().get('amq_epoch', 1)!r} != current "
+                f"{self._latest_meta().get('amq_epoch', 1)!r} != current "
                 f"{FILTER_EPOCH} — rebuilding from the exact seen table",
                 flush=True,
             )
+            self.flush()  # the rebuild is its own commit
             self.catalog.commit(
                 replace={
                     filter_table: build_filter(
@@ -357,10 +441,26 @@ class CrawlEngine:
                 },
                 meta=self._carry_meta(amq_epoch=FILTER_EPOCH),
             )
-        return filter_table, anti_join, self.catalog.read(filter_table)
+        return filter_table, anti_join, self._read_state(filter_table)
 
-    def run_round(self) -> dict:
-        """Execute one crawl round against the latest snapshot; commit."""
+    def run_round(self, async_commit: bool = False) -> dict:
+        """Execute one crawl round against the latest logical snapshot.
+
+        ``async_commit=False`` (default): the round's commit is durable
+        before this returns — the contract every direct caller relies
+        on. ``async_commit=True`` (used by crawl() when
+        pipeline_commits): the commit's parquet writes launch on a
+        background thread and the NEXT round overlays the in-memory
+        deltas over the durable catalog (_read_state/_latest_meta),
+        overlapping round r's writes with round r+1's compute; the next
+        commit (or any admin op) barriers via flush() first, so manifest
+        ordering and atomicity are identical to blocking mode. Recompute
+        caveat: a cache-evicted partition of a background write can
+        recompute through the PREVIOUS round's released caches — the
+        same eviction-recompute exposure the round already has within
+        itself (deterministic with the synthetic fetcher; a live-HTTP
+        deployment that cannot tolerate refetch-on-eviction should run
+        pipeline_commits=False or checkpoint the fetch output)."""
         import os
 
         profile = os.environ.get("CRAWLERIA_PROFILE") == "1"
@@ -376,13 +476,13 @@ class CrawlEngine:
 
         t0 = time.time()
         cfg = self.config
-        meta = self.catalog.latest_meta()
+        meta = self._latest_meta()
         rnd = int(meta["round"]) + 1
         next_priority = int(meta["next_priority"])
         fetched_total = int(meta["fetched_total"])
 
-        pending = self.catalog.read("frontier")
-        seen = self.catalog.read("seen")
+        pending = self._read_state("frontier")
+        seen = self._read_state("seen")
 
         from crawleria_spark.operators.politeness import bucketed_host_rank, per_host_rank
 
@@ -593,6 +693,7 @@ class CrawlEngine:
             # stay in their append dirs (see step 9: the frontier is an
             # APPEND table; dequeue removes rows logically via `seen`,
             # never by rewriting).
+            self.flush()  # barrier: strictly after the in-flight round
             self.catalog.commit(
                 append={"fetch_log": denied_log, "seen": denied_seen},
                 meta=self._carry_meta(
@@ -608,7 +709,7 @@ class CrawlEngine:
         # 6. cumulative per-host sequence (politeness_slot already assigned);
         #    host_seq is an append table of per-round deltas → aggregate
         host_seq = (
-            self.catalog.read("host_seq")
+            self._read_state("host_seq")
             .groupBy("host")
             .agg(F.sum("n_fetched").cast("long").alias("n_fetched"))
         )
@@ -813,25 +914,85 @@ class CrawlEngine:
             # like every other append. crawl() compacts when
             # directories pile up.
             filter_table, build_filter, _, _ = self._seen_filter_ops()
-            append_tables[filter_table] = build_filter(seen_new.select("url_hash"))
+            filter_src = seen_new.select("url_hash")
+            if bloom_df is None:
+                # FIRST filter write of this catalog: it must cover the
+                # ENTIRE seen set, not just this round's delta. A
+                # catalog bootstrapped with pre-seeded seen rows (no
+                # filter table) would otherwise probe those rows
+                # certainly-new from the next round on — false
+                # negatives, silent duplicate re-fetches. One-time
+                # O(seen) cost; engine-inited catalogs have empty
+                # pre-round seen here so the union is free.
+                filter_src = seen.select("url_hash").unionByName(filter_src)
+            append_tables[filter_table] = build_filter(filter_src)
         if n_cand > 0:
             append_tables["frontier"] = new_rows
-        self.catalog.commit(
-            append=append_tables,
-            meta=self._carry_meta(
-                round=rnd,
-                next_priority=next_priority,
-                fetched_total=fetched_total,
-            ),
+        new_meta = self._carry_meta(
+            round=rnd,
+            next_priority=next_priority,
+            fetched_total=fetched_total,
         )
-        _tick("commit (all writes)")
+        if filter_table in append_tables:
+            # the delta appended this round is current-epoch, and any
+            # pre-existing filter rows were epoch-verified (rebuilt if
+            # stale) by _read_filter_checked at round start — so the
+            # stamp is safe, and it self-heals catalogs whose state was
+            # bootstrapped outside init() (e.g. the bench harness)
+            new_meta["amq_epoch"] = FILTER_EPOCH
+        # barrier on the PREVIOUS round's in-flight commit: manifests
+        # must version strictly in round order, and its deltas become
+        # durable dirs this round's plans can recompute from
+        self.flush()
+        _tick("commit barrier (prev round)")
+        if async_commit:
+            # Overlay copies are LAZY LOCAL CHECKPOINTS: they truncate
+            # the next round's plan lineage at this round's boundary, so
+            # plan depth stays CONSTANT over a pipelined crawl — without
+            # truncation every round's overlay embeds the previous
+            # round's full delta plan recursively and catalyst OOMs on
+            # the nested tree within ~a dozen rounds. They materialize
+            # from this round's persisted caches on first scan; blocks
+            # are freed by the ContextCleaner when the next round's
+            # flush drops the references. (localCheckpoint trades
+            # executor-loss recompute for truncation — a lost round
+            # re-runs from its committed snapshot, the engine's normal
+            # failure unit.)
+            overlay = {
+                t: append_tables[t].localCheckpoint(eager=False)
+                for t in ("frontier", "seen", "host_seq", filter_table)
+                if t in append_tables
+            }
+            base_version = self.catalog.latest_version()
+            self._pending = {
+                "future": self._commit_executor().submit(
+                    self.catalog.commit, append=append_tables, meta=new_meta
+                ),
+                "append": overlay,
+                "meta": new_meta,
+                "base_version": base_version,
+                "persists": [fetched, *round_persists],
+            }
+            _tick("commit (launch async)")
+        else:
+            self.catalog.commit(append=append_tables, meta=new_meta)
+            _tick("commit (all writes)")
         # gross row count (live + not-yet-compacted dequeued rows) — a
         # parquet-metadata upper bound on the live frontier, NOT an exact
-        # live count (which would cost an anti-join per round)
-        n_pending = self.catalog.read("frontier").count()
+        # live count (which would cost an anti-join per round). Async:
+        # count the pinned pre-commit base + this round's delta (the
+        # in-flight commit may land at any moment — `latest + n_cand`
+        # would then double-count).
+        if async_commit:
+            n_pending = (
+                self.catalog.read_as_of("frontier", base_version).count() + n_cand
+            )
+        else:
+            n_pending = self.catalog.read("frontier").count()
         _tick("pending count")
-        for df in (fetched, *round_persists):
-            df.unpersist()
+        if not async_commit:
+            for df in (fetched, *round_persists):
+                df.unpersist()
         return {
             "round": rnd,
             "n_fetched": n_fetch_rows,
@@ -871,6 +1032,7 @@ class CrawlEngine:
 
         from crawleria_spark.functions.urls import canonicalize
 
+        self.flush()
         canon = []
         seen_order: set[str] = set()
         for u in urls:
@@ -973,6 +1135,7 @@ class CrawlEngine:
         from crawleria_spark.functions.urls import host_expr
         from crawleria_spark.operators.ordinal import bucketed_dense_ordinal
 
+        self.flush()
         meta = dict(self.catalog.latest_meta())
         rnd = int(meta.get("round", -1))
         cutoff = rnd - max_age_rounds
@@ -1036,6 +1199,7 @@ class CrawlEngine:
         from crawleria_spark.functions.urls import canonicalize
         from crawleria_spark.sources.fetch import with_spans_column
 
+        self.flush()
         cfg = self.config
         if self.catalog.latest_version() is None:
             self.init([])  # fresh root: bootstrap empty state tables
@@ -1087,7 +1251,16 @@ class CrawlEngine:
         }
         if self.use_bloom:
             filter_table, build_filter, _, _ = self._seen_filter_ops()
-            append_tables[filter_table] = build_filter(fetched.select("url_hash"))
+            filter_src = fetched.select("url_hash")
+            if not self.catalog.exists(filter_table):
+                # first filter write must cover the whole seen set (same
+                # bootstrapped-catalog false-negative hazard as
+                # run_round's first filter append)
+                filter_src = (
+                    self.catalog.read("seen").select("url_hash")
+                    .unionByName(filter_src)
+                )
+            append_tables[filter_table] = build_filter(filter_src)
         self.catalog.commit(
             append=append_tables,
             meta=self._carry_meta(
@@ -1131,17 +1304,21 @@ class CrawlEngine:
             self.init(seeds)
         stats = []
         for _ in range(max_rounds):
-            meta = self.catalog.latest_meta()
+            meta = self._latest_meta()
             if int(meta["fetched_total"]) >= self.config.max_pages:
                 break
-            if self.catalog.read("frontier").isEmpty():
+            if self._read_state("frontier").isEmpty():
                 break
-            st = self.run_round()
+            st = self.run_round(async_commit=self.pipeline_commits)
             stats.append(st)
             if st["stopped"]:
                 break
+            # compaction thresholds read the durable manifest (may lag
+            # the in-flight round by one dir — harmless for a threshold);
+            # a compaction COMMIT barriers via flush() first
             # bound file-listing growth of append tables on long crawls
-            if self.catalog.n_dirs("seen") > self.config.compact_dirs_threshold:
+            if self._n_dirs_logical("seen") > self.config.compact_dirs_threshold:
+                self.flush()
                 self.catalog.compact("seen")
             # host_seq compacts to the RUNNING PER-HOST TOTALS (one row
             # per host), not a concatenation of the delta rows: rounds
@@ -1150,7 +1327,8 @@ class CrawlEngine:
             # + O(recent rounds) un-compacted deltas instead of the full
             # per-round delta history (r3 verdict: that input grew with
             # crawl breadth × round count)
-            if self.catalog.n_dirs("host_seq") > self.config.compact_dirs_threshold:
+            if self._n_dirs_logical("host_seq") > self.config.compact_dirs_threshold:
+                self.flush()
                 totals = (
                     self.catalog.read("host_seq")
                     .groupBy("host")
@@ -1163,7 +1341,8 @@ class CrawlEngine:
             # append-only re-enqueue leaves dequeued rows in place until
             # this periodic rewrite reclaims them — one O(live) write
             # every ~64 rounds instead of every round
-            if self.catalog.n_dirs("frontier") > self.config.compact_dirs_threshold:
+            if self._n_dirs_logical("frontier") > self.config.compact_dirs_threshold:
+                self.flush()
                 alive_frontier = self.catalog.read("frontier").join(
                     self.catalog.read("seen").select("url_canon"),
                     "url_canon",
@@ -1176,11 +1355,15 @@ class CrawlEngine:
             # the filter append-table also merges rows per bucket when
             # compacted, so probe-time merge cost stays bounded too
             filter_table, _, _, compact_filter = self._seen_filter_ops()
-            if self.use_bloom and self.catalog.n_dirs(filter_table) > self.config.compact_dirs_threshold:
+            if self.use_bloom and self._n_dirs_logical(filter_table) > self.config.compact_dirs_threshold:
+                self.flush()
                 self.catalog.commit(
                     replace={
                         filter_table: compact_filter(self.catalog.read(filter_table))
                     },
                     meta=self.catalog.latest_meta(),
                 )
+        # final barrier: callers observe a fully durable catalog — the
+        # pipelined mode never changes what crawl() leaves on disk
+        self.flush()
         return stats

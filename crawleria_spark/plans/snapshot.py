@@ -78,6 +78,22 @@ class SnapshotCatalog:
         m = self.latest_manifest()
         return bool(m) and table in m["tables"]
 
+    def read_as_of(self, table: str, version: int) -> DataFrame:
+        """Read a table as of a pinned manifest version (time travel).
+        The pipelined-commit overlay pins its base here: an async commit
+        landing mid-round must never make `latest + delta` double-apply
+        the delta. Versions within gc's keep_last window are safe."""
+        m = self._load_manifest(version)
+        if table not in m["tables"]:
+            raise KeyError(f"table {table!r} not in manifest v{version}")
+        return self.spark.read.parquet(*m["tables"][table])
+
+    def exists_as_of(self, table: str, version: int) -> bool:
+        return table in self._load_manifest(version)["tables"]
+
+    def n_dirs_as_of(self, table: str, version: int) -> int:
+        return len(self._load_manifest(version)["tables"].get(table, []))
+
     def _write_dir(self, name: str, df: DataFrame, version: int) -> str:
         import time
 

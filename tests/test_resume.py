@@ -56,6 +56,32 @@ def test_resume_equals_uninterrupted(spark, tmp_path):
     assert state_a == state_b
 
 
+def test_pipelined_crawl_equals_blocking(spark, tmp_path):
+    """pipeline_commits=True (crawl's default: round r's commit writes
+    overlap round r+1's compute) must leave a byte-identical logical
+    catalog to blocking mode — the overlay reads (pre-commit manifest ∪
+    in-memory delta, pinned base version) and the flush barriers
+    reorder WHEN writes run, never what any committed manifest holds.
+    Guards the two bugs found while building it: unbounded overlay plan
+    nesting (OOM) and the landed-commit double-apply race (seq_in_host
+    shift)."""
+    import dataclasses
+
+    states = {}
+    for mode in (True, False):
+        root = str(tmp_path / f"pipe_{mode}")
+        cfg = dataclasses.replace(CONFIG, max_pages=40)
+        eng = CrawlEngine(
+            spark, SnapshotCatalog(spark, root), cfg,
+            synthetic_fetcher(WORLD), robots_rows=robots_rules(WORLD),
+            use_bloom=True, pipeline_commits=mode,
+        )
+        eng.crawl(SEEDS, max_rounds=20)
+        assert eng._pending is None  # crawl always leaves a durable catalog
+        states[mode] = _final_state(SnapshotCatalog(spark, root))
+    assert states[True] == states[False]
+
+
 def test_stale_filter_epoch_rebuilds(spark, tmp_path):
     """A catalog whose AMQ blobs predate the current hashing scheme
     (meta amq_epoch != bloom.FILTER_EPOCH) must be detected at the next
