@@ -139,6 +139,7 @@ def build_crawl_state(spark, catalog, cfg, n_frontier=None):
             "next_priority": n_frontier,
             "fetched_total": 0,
             "seen_filter": cfg.seen_filter,
+            "frontier_gross": n_frontier,
         },
     )
 
@@ -323,7 +324,9 @@ def main_single() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cores=cores)
-    queries = bench_queries(spark, sf_dir)
+    # SPARK_GRAFT_BENCH_REPEATS=5 for re-measuring suspected-noise rows
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    queries = bench_queries(spark, sf_dir, repeats=repeats)
     crawl = bench_crawl_round(spark, cores)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     return {

@@ -391,6 +391,14 @@ class CrawlEngine:
                 # probe time — see bloom.FILTER_EPOCH)
                 "seen_filter": cfg.seen_filter,
                 "amq_epoch": FILTER_EPOCH,
+                # gross physical frontier row count, maintained
+                # arithmetically every commit that touches the table —
+                # replaces three per-round jobs (start-of-round bound
+                # count, crawl-loop isEmpty probe, end-of-round pending
+                # count) with meta reads. Absent (old catalog /
+                # externally bootstrapped state) → one fallback count,
+                # then self-heals.
+                "frontier_gross": next_priority,
             },
         )
 
@@ -604,7 +612,12 @@ class CrawlEngine:
         # whenever the head yields >= `remaining` kept rows; if it
         # doesn't, widen geometrically (each attempt releases its
         # persists) and finally fall back to the full frontier.
-        pending_bound = pending.count()  # parquet metadata count — no scan
+        # gross physical rows: carried in meta (O(1)); a catalog whose
+        # state was written outside the engine lacks the key — count
+        # once (parquet metadata, no scan) and stamp it at this round's
+        # commit
+        _gross = meta.get("frontier_gross")
+        pending_bound = int(_gross) if _gross is not None else pending.count()
         if pending_bound < remaining:
             cutoffs: list[float | None] = [None]
         else:
@@ -700,6 +713,7 @@ class CrawlEngine:
                     round=rnd,
                     next_priority=next_priority,
                     fetched_total=fetched_total,
+                    frontier_gross=pending_bound,  # table untouched
                 ),
             )
             for df in round_persists:
@@ -932,6 +946,7 @@ class CrawlEngine:
             round=rnd,
             next_priority=next_priority,
             fetched_total=fetched_total,
+            frontier_gross=pending_bound + n_cand,
         )
         if filter_table in append_tables:
             # the delta appended this round is current-epoch, and any
@@ -977,18 +992,12 @@ class CrawlEngine:
         else:
             self.catalog.commit(append=append_tables, meta=new_meta)
             _tick("commit (all writes)")
-        # gross row count (live + not-yet-compacted dequeued rows) — a
-        # parquet-metadata upper bound on the live frontier, NOT an exact
-        # live count (which would cost an anti-join per round). Async:
-        # count the pinned pre-commit base + this round's delta (the
-        # in-flight commit may land at any moment — `latest + n_cand`
-        # would then double-count).
-        if async_commit:
-            n_pending = (
-                self.catalog.read_as_of("frontier", base_version).count() + n_cand
-            )
-        else:
-            n_pending = self.catalog.read("frontier").count()
+        # gross row count (live + not-yet-compacted dequeued rows) — an
+        # upper bound on the live frontier, NOT an exact live count
+        # (which would cost an anti-join per round). Pure arithmetic:
+        # rows at round start + rows appended this round (the frontier
+        # only ever changes by appends between compactions).
+        n_pending = pending_bound + n_cand
         _tick("pending count")
         if not async_commit:
             for df in (fetched, *round_persists):
@@ -1109,6 +1118,8 @@ class CrawlEngine:
             append["frontier"] = self.spark.createDataFrame(
                 rows, schema=FRONTIER_SCHEMA
             )
+            if "frontier_gross" in meta:
+                meta["frontier_gross"] = int(meta["frontier_gross"]) + len(rows)
         self.catalog.commit(replace=replace, append=append or None, meta=meta)
         return len(present)
 
@@ -1175,6 +1186,8 @@ class CrawlEngine:
             )
             meta["next_priority"] = next_priority + n_expired
             n_requeued = n_expired
+            if "frontier_gross" in meta:
+                meta["frontier_gross"] = int(meta["frontier_gross"]) + n_expired
         self.catalog.commit(replace=replace, append=append or None, meta=meta)
         return {"round": rnd, "expired": n_expired, "requeued": n_requeued}
 
@@ -1307,7 +1320,12 @@ class CrawlEngine:
             meta = self._latest_meta()
             if int(meta["fetched_total"]) >= self.config.max_pages:
                 break
-            if self._read_state("frontier").isEmpty():
+            # gross == 0 ⟺ the append table has no physical rows at all
+            # ⟺ isEmpty — the meta read replaces a per-round Spark job
+            _gross = meta.get("frontier_gross")
+            if (int(_gross) == 0) if _gross is not None else (
+                self._read_state("frontier").isEmpty()
+            ):
                 break
             st = self.run_round(async_commit=self.pipeline_commits)
             stats.append(st)
@@ -1348,9 +1366,15 @@ class CrawlEngine:
                     "url_canon",
                     "left_anti",
                 )
+                # the rewrite drops dead rows, so the carried gross
+                # count is stale — drop the key; the next round counts
+                # the freshly-compacted dirs once (metadata-only) and
+                # re-stamps it
+                compact_meta = dict(self.catalog.latest_meta())
+                compact_meta.pop("frontier_gross", None)
                 self.catalog.commit(
                     replace={"frontier": alive_frontier},
-                    meta=self.catalog.latest_meta(),
+                    meta=compact_meta,
                 )
             # the filter append-table also merges rows per bucket when
             # compacted, so probe-time merge cost stays bounded too
