@@ -62,7 +62,7 @@ from crawleria_spark.config import CrawlConfig
 from crawleria_spark.functions.urls import host_expr, url_canon_expr
 from crawleria_spark.operators.bloom import FILTER_EPOCH
 from crawleria_spark.operators.ordinal import bucketed_dense_ordinal, bucketed_limit_by
-from crawleria_spark.plans.snapshot import SnapshotCatalog
+from crawleria_spark.plans.catalog import Catalog
 from crawleria_spark.sources.fetch import SPAN_SCHEMA, fetch_stage
 
 FRONTIER_SCHEMA = T.StructType(
@@ -139,7 +139,7 @@ class CrawlEngine:
     def __init__(
         self,
         spark: SparkSession,
-        catalog: SnapshotCatalog,
+        catalog: Catalog,
         config: CrawlConfig,
         fetcher,
         robots_rows: list[dict] | None = None,

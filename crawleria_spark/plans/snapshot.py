@@ -29,8 +29,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crawleria_spark.plans.catalog import Catalog
 
-class SnapshotCatalog:
+
+class SnapshotCatalog(Catalog):
     MANIFEST_PREFIX = "_manifest_v"
 
     def __init__(self, spark: SparkSession, root: str):
@@ -50,21 +52,12 @@ class SnapshotCatalog:
             if f.startswith(self.MANIFEST_PREFIX) and f.endswith(".json")
         )
 
-    def latest_version(self) -> int | None:
-        versions = self._versions()
-        return versions[-1] if versions else None
-
     def _load_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as f:
             return json.load(f)
 
-    def latest_manifest(self) -> dict | None:
-        v = self.latest_version()
-        return self._load_manifest(v) if v is not None else None
-
-    def latest_meta(self) -> dict:
-        m = self.latest_manifest()
-        return (m or {}).get("meta", {})
+    # latest_version/latest_manifest/latest_meta/exists*/n_dirs*/compact
+    # are inherited from Catalog (manifest-derived, implementation-free).
 
     # -- table IO -------------------------------------------------------------
 
@@ -73,10 +66,6 @@ class SnapshotCatalog:
         if not m or table not in m["tables"]:
             raise KeyError(f"table {table!r} not in catalog at {self.root}")
         return self.spark.read.parquet(*m["tables"][table])
-
-    def exists(self, table: str) -> bool:
-        m = self.latest_manifest()
-        return bool(m) and table in m["tables"]
 
     def read_as_of(self, table: str, version: int) -> DataFrame:
         """Read a table as of a pinned manifest version (time travel).
@@ -87,12 +76,6 @@ class SnapshotCatalog:
         if table not in m["tables"]:
             raise KeyError(f"table {table!r} not in manifest v{version}")
         return self.spark.read.parquet(*m["tables"][table])
-
-    def exists_as_of(self, table: str, version: int) -> bool:
-        return table in self._load_manifest(version)["tables"]
-
-    def n_dirs_as_of(self, table: str, version: int) -> int:
-        return len(self._load_manifest(version)["tables"].get(table, []))
 
     def _write_dir(self, name: str, df: DataFrame, version: int) -> str:
         import time
@@ -196,16 +179,6 @@ class SnapshotCatalog:
         """Glob root for streaming readers: contains symlinks to exactly
         the COMMITTED delta directories of an append table."""
         return os.path.join(self.root, "published", table)
-
-    def n_dirs(self, table: str) -> int:
-        m = self.latest_manifest()
-        return len(m["tables"].get(table, [])) if m else 0
-
-    def compact(self, table: str, meta: dict | None = None) -> None:
-        """Rewrite an append table's accumulated directories into one
-        (bounds file-listing cost on long crawls); atomic like any commit."""
-        df = self.read(table)
-        self.commit(replace={table: df}, meta=meta or self.latest_meta())
 
     def gc(self, keep_last: int = 2) -> None:
         """Drop data dirs referenced only by manifests older than keep_last."""

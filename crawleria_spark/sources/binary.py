@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crawleria_spark.multimodal.media import decode_media, extract_features, resize_images
-from crawleria_spark.plans.snapshot import SnapshotCatalog
+from crawleria_spark.plans.catalog import Catalog
 
 
 def read_media_dir(
@@ -52,7 +52,7 @@ def read_media_dir(
 def ingest_media_dir(
     spark: SparkSession,
     path: str,
-    catalog: SnapshotCatalog,
+    catalog: Catalog,
     table: str = "media_index",
     pattern: str = "*.png",
     max_width: int = 1920,
