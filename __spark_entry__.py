@@ -471,6 +471,67 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", lang_id_udf("text").alias("pred_lang"))
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data hygiene): corpus docs
+    sharing any word 4-gram with the held-out eval slice
+    (doc_id % 50 == 0 plays the benchmark). Production rule is 13-grams
+    (GPT-3 appendix C); n=4 here because the synthetic docs are 10-99
+    tokens. Scale shape: the eval n-gram set broadcasts; the corpus side
+    is a broadcast LEFT SEMI join on exploded grams — the 100 TB side
+    never shuffles (operators/dedup.py:decontaminate)."""
+    from crawleria_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    _, contaminated = decontaminate(corpus, bench, n=4)
+    return contaminated.select("doc_id", "n_hits")
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher/C4-style repetition filter signals: fraction of repeated
+    words and repeated 3-grams per doc, plus the keep decision
+    (dup_word <= 0.55 AND dup_3gram <= 0.2 — thresholds sit at this
+    corpus's median so the flag actually discriminates). All-JVM array
+    exprs, one codegen span (functions/text.py)."""
+    from crawleria_spark.functions.text import dup_ngram_frac, dup_word_frac
+
+    docs = _t(spark, sf_dir, "documents")
+    dw = dup_word_frac("text")
+    dn = dup_ngram_frac("text", 3)
+    return docs.select(
+        "doc_id",
+        F.round(dw, 6).alias("dup_word_frac"),
+        F.round(dn, 6).alias("dup_3gram_frac"),
+        ((dw <= 0.55) & (dn <= 0.2)).alias("keep"),
+    )
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII redaction: emails then phone-shaped numbers →
+    [EMAIL]/[PHONE], pure JVM regexp_replace (patterns chosen to parse
+    identically in Java regex and RE2 — functions/text.py). The corpus
+    is synthetic and PII-free, so the query INJECTS one deterministic
+    email + phone per doc (derived from doc_id) before redacting —
+    the oracle proves the redaction fires, not that clean text stays
+    clean. Output is the match count + md5 of the redacted text."""
+    from crawleria_spark.functions.text import pii_count, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.select(
+        "doc_id",
+        pii_count(injected).alias("n_pii"),
+        F.md5(pii_redact(injected)).alias("redacted_fp"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """ANN baseline: exact brute-force cosine top-k vs query vec_id=0."""
     from crawleria_spark.operators.ann import cosine_topk_brute
@@ -843,6 +904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_scores": q_quality_scores,
         "q_fingerprints": q_fingerprints,
         "q_lang_id": q_lang_id,
+        "q_decontaminate": q_decontaminate,
+        "q_repetition_filter": q_repetition_filter,
+        "q_pii_redaction": q_pii_redaction,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_dup_pairs": q_embedding_dup_pairs,
         "q_pricing_summary": q_pricing_summary,
@@ -1038,6 +1102,67 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_fr >= h_de THEN 'fr'
                         ELSE 'de' END AS pred_lang
             FROM hits
+        """,
+        "q_decontaminate": """
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            ng AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 4
+                          THEN list_transform(generate_series(1, len(toks) - 3),
+                                              i -> array_to_string(toks[i:i+3], ' '))
+                          ELSE []::VARCHAR[] END AS ngrams
+              FROM tok),
+            bench AS (
+              SELECT DISTINCT unnest(ngrams) AS g FROM ng WHERE doc_id % 50 = 0),
+            hits AS (
+              SELECT doc_id, unnest(ngrams) AS g FROM ng WHERE doc_id % 50 <> 0)
+            SELECT doc_id, count(DISTINCT g) AS n_hits
+            FROM hits WHERE g IN (SELECT g FROM bench)
+            GROUP BY doc_id
+        """,
+        "q_repetition_filter": """
+            WITH tok AS (
+              SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+            ng AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 3
+                          THEN list_transform(generate_series(1, len(toks) - 2),
+                                              i -> array_to_string(toks[i:i+2], ' '))
+                          ELSE []::VARCHAR[] END AS grams
+              FROM tok),
+            fr AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) <= 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+                          END AS dw,
+                     CASE WHEN len(grams) <= 0 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams)
+                          END AS dn
+              FROM ng)
+            SELECT doc_id, round(dw, 6) AS dup_word_frac,
+                   round(dn, 6) AS dup_3gram_frac,
+                   (dw <= 0.55 AND dn <= 0.2) AS keep
+            FROM fr
+        """,
+        "q_pii_redaction": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com or 415-555-'
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+              FROM documents)
+            SELECT doc_id,
+                   (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(t, '\\d{3}[-. ]\\d{3}[-. ]\\d{4}')))::INT AS n_pii,
+                   md5(regexp_replace(
+                         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                                        '[EMAIL]', 'g'),
+                         '\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g')) AS redacted_fp
+            FROM inj
         """,
         "q_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

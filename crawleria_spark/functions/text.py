@@ -94,6 +94,69 @@ def fingerprint_xxhash(text: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams as space-joined strings — all JVM array exprs (one
+    whole-stage-codegen span, no Python crossing). Empty array when the
+    doc has fewer than n tokens (sequence(1, size-n+1) would otherwise
+    step BACKWARD for short docs — Spark's sequence defaults to step -1
+    when start > stop)."""
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    n_tok = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n_tok - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(n_tok >= n, grams).otherwise(
+        F.array().cast(T.ArrayType(T.StringType()))
+    )
+
+
+def dup_word_frac(text: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of word occurrences that
+    are repeats of an earlier word (1 - distinct/total; 0 for empty)."""
+    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    )
+
+
+def dup_ngram_frac(text: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-gram occurrences that are repeats (the
+    Gopher/C4 duplicate-n-gram filter signal; boilerplate and spam
+    score high). 0 for docs shorter than n tokens."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround, no \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def pii_count(text: Column | str) -> Column:
+    """Number of PII matches (emails + phone-shaped numbers). Counted
+    BEFORE redaction; email digits can't double-count as phones because
+    the phone shape requires separator-delimited 3-3-4 groups."""
+    t = _c(text)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
+    ).cast("int")
+
+
+def pii_redact(text: Column | str) -> Column:
+    """Redact emails then phone-shaped numbers (emails first so their
+    digit runs are gone before the phone pass). Pure JVM regexp_replace
+    — global by default, matching DuckDB's 'g' flag."""
+    t = F.regexp_replace(_c(text), PII_EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(t, PII_PHONE_RE, "[PHONE]")
+
+
 # --------------------------------------------------------------------------
 # winnowing fingerprints: rolling-hash k-grams, window minima (MOSS-style)
 # --------------------------------------------------------------------------

@@ -558,3 +558,48 @@ def winnow_dup_pairs(
         .filter(F.col("overlap") >= min_overlap)
         .select("id_a", "id_b", "n_shared", "overlap")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (train/eval n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Training-data decontamination: flag corpus docs sharing any word
+    n-gram with a benchmark/eval set (the GPT-3/PaLM-style 13-gram
+    overlap rule; pass smaller n for short-doc corpora).
+
+    Returns ``(clean, contaminated)``:
+    - ``contaminated``: id_col + n_hits (distinct benchmark n-grams hit)
+    - ``clean``: input docs minus contaminated ids
+
+    Scale shape (the part that matters at 100 TB): the benchmark is
+    small by definition (eval sets are MBs), so its distinct-n-gram set
+    BROADCASTS; corpus n-grams are checked with a broadcast LEFT SEMI
+    join on the exploded grams — the 100 TB side is never shuffled, and
+    rows survive the semi-join only for actual hits, so the follow-up
+    per-doc count aggregates a near-empty stream. The anti-join back to
+    docs broadcasts the (small) contaminated id set too.
+    """
+    from crawleria_spark.functions.text import word_ngrams
+
+    bench_grams = bench.select(
+        F.explode(word_ngrams(text_col, n)).alias("g")
+    ).distinct()
+    hits = (
+        docs.select(F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("g"))
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+    )
+    contaminated = hits.groupBy(id_col).agg(
+        F.countDistinct("g").alias("n_hits")
+    )
+    clean = docs.join(
+        F.broadcast(contaminated.select(id_col)), id_col, "left_anti"
+    )
+    return clean, contaminated

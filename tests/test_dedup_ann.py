@@ -297,3 +297,29 @@ def test_graded_ann_probe_equals_brute(spark):
         n = cdf.count()
         assert n >= 100
         cdf.unpersist()
+
+
+def test_decontaminate(spark):
+    """Hand-built corpus: doc sharing a 3-gram with the benchmark is
+    flagged with the right hit count; clean docs survive; bench n-grams
+    shorter than n can't contaminate."""
+    from crawleria_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "tiny")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "x alpha beta gamma y"),            # hits 'alpha beta gamma'
+            (1, "alpha beta gamma delta z"),        # hits 2 bench 3-grams
+            (2, "gamma beta alpha"),                # order differs: clean
+            (3, "tiny"),                            # matches a <n bench doc: clean
+            (4, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    clean, contaminated = decontaminate(docs, bench, n=3)
+    got = {r["doc_id"]: r["n_hits"] for r in contaminated.collect()}
+    assert got == {0: 1, 1: 2}
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3, 4]

@@ -67,6 +67,21 @@ def test_text_metrics_stay_jvm_side(spark, entry):
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
 
+def test_corpus_hygiene_plans(spark, entry):
+    """The round-4 training-data hygiene queries stay pure-JVM (array
+    exprs + regexp_replace — zero Python crossings) and decontamination
+    keeps the corpus side shuffle-free: the benchmark n-gram set and
+    the contaminated-id set are the ONLY broadcast sides."""
+    qs = entry.queries()
+    for name in ("q_repetition_filter", "q_pii_redaction", "q_decontaminate"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "EvalPython" not in plan, name
+    decon = _plan(qs["q_decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in decon  # bench grams broadcast, semi
+    assert "LeftSemi" in decon
+    assert "SortMergeJoin" not in decon  # corpus n-grams never shuffle
+
+
 def test_no_row_python_udfs_anywhere(spark, entry):
     """Every Python crossing must be Arrow-vectorized (ArrowEvalPython /
     mapInPandas FlatMapGroupsInPandas etc.), never BatchEvalPython."""

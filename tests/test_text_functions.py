@@ -114,3 +114,48 @@ def test_winnowing_fingerprints(spark):
     fp6 = df2.select(winnow_fingerprints_udf("text").alias("fp")).first()["fp"]
     overlap = len(set(got[1]) & set(fp6)) / len(got[1])
     assert overlap > 0.6
+
+
+def test_repetition_fractions(spark):
+    """dup_word_frac / dup_ngram_frac vs a plain-Python recount,
+    including the short-doc (< n tokens) and empty edges."""
+    from crawleria_spark.functions.text import dup_ngram_frac, dup_word_frac
+
+    rows = (
+        _df(spark)
+        .select(
+            "id",
+            F.round(dup_word_frac("text"), 6).alias("dw"),
+            F.round(dup_ngram_frac("text", 3), 6).alias("dn"),
+        )
+        .collect()
+    )
+    got = {r["id"]: (r["dw"], r["dn"]) for r in rows}
+    for i, s in enumerate(SAMPLES):
+        # mirror split('\s+') on trimmed text: '' -> [''], one token
+        toks = re.split(r"\s+", s.strip().lower())
+        dw = 0.0 if len(toks) == 0 else round(1 - len(set(toks)) / len(toks), 6)
+        grams = [" ".join(toks[j : j + 3]) for j in range(len(toks) - 2)]
+        dn = 0.0 if len(grams) <= 0 else round(1 - len(set(grams)) / len(grams), 6)
+        assert got[i] == (dw, dn), (i, s)
+
+
+def test_pii_redaction_and_count(spark):
+    from crawleria_spark.functions.text import pii_count, pii_redact
+
+    cases = [
+        ("mail me at a.b+c@ex-ample.co.uk today", 1, "mail me at [EMAIL] today"),
+        ("call 415-555-0134 or 415 555 0199", 2, "call [PHONE] or [PHONE]"),
+        ("x@y.io and 212.555.0100", 2, "[EMAIL] and [PHONE]"),
+        ("no pii here 12345", 0, "no pii here 12345"),
+        ("", 0, ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(cases)], "id long, text string"
+    )
+    rows = df.select(
+        "id", pii_count("text").alias("n"), pii_redact("text").alias("red")
+    ).collect()
+    got = {r["id"]: (r["n"], r["red"]) for r in rows}
+    for i, (_, n, red) in enumerate(cases):
+        assert got[i] == (n, red), cases[i]
