@@ -467,6 +467,81 @@ def main_ab(battery: str) -> None:
         f.write(json.dumps(report) + "\n```\n")
 
 
+def main_rank_skew() -> None:
+    """Isolated rank-stage skew battery: per-host politeness rank via
+    the plain window (one task per host) vs bucketed_host_rank (hot host
+    spans priority buckets) across hub-host fractions, fetch/commit
+    noise excluded. This is where the skew story actually lives — in
+    the full round the rank is a few % of wall, so whole-round A/Bs
+    measure the fetch layout, not the rank (see BENCH/BASELINE.md
+    round-4 notes). One session, interleaved, min-of-2 per cell."""
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.operators.politeness import (
+        bucketed_host_rank,
+        per_host_rank,
+    )
+    from crawleria_spark.session import get_spark
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = int(os.environ.get("SPARK_GRAFT_RANKSKEW_N", "8000000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    spark = get_spark(
+        "bench_rank_skew", cores=cores, shuffle_partitions=FIXED_PARTITIONS
+    )
+    cells: dict[str, dict[str, float]] = {}
+    for hub_frac in (0.0, 0.3, 0.6, 0.9):
+        base = (
+            spark.range(n)
+            .select(
+                F.when(
+                    F.col("id") % 1000 < int(hub_frac * 1000),
+                    F.lit("hub.example.com"),
+                )
+                .otherwise(
+                    F.concat(F.lit("h"), F.col("id") % N_HOSTS, F.lit(".example.org"))
+                )
+                .alias("host"),
+                F.col("id").cast("double").alias("priority"),
+                F.concat(F.lit("https://x/p/"), "id").alias("url_canon"),
+            )
+            .persist()
+        )
+        base.count()
+        variants = {
+            "plain_window": lambda d=base: per_host_rank(
+                d, "host", ["priority", "url_canon"], col_name="slot"
+            ),
+            "bucketed": lambda d=base: bucketed_host_rank(
+                d, "host", "priority", ["priority", "url_canon"],
+                priority_bound=n, col_name="slot",
+                num_buckets=FIXED_PARTITIONS,
+            ),
+        }
+        cell: dict[str, float] = {}
+        for name, make in variants.items():
+            _materialize(make())  # warm (codegen + AQE shapes)
+        for _ in range(repeats):
+            for name, make in variants.items():
+                t0 = time.time()
+                _materialize(make())
+                cell[name] = min(cell.get(name, float("inf")), time.time() - t0)
+        cells[f"hub_{hub_frac}"] = {k: round(v, 3) for k, v in cell.items()}
+        base.unpersist()
+    report = {
+        "battery": "rank_skew",
+        "n_rows": n,
+        "cores": cores,
+        "cells": cells,
+        "load_at_end": round(os.getloadavg()[0], 1),
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write("\n<!-- bench.py --rank-skew run -->\n```json\n")
+        f.write(json.dumps(report) + "\n```\n")
+
+
 def main_scaling() -> None:
     """N vs 4N evidence: the same crawl-round job at two parallelism
     levels. This box hosts other tenants with bursty load, so runs are
@@ -509,5 +584,7 @@ if __name__ == "__main__":
         main_scaling()
     elif "--ab" in sys.argv:
         main_ab(sys.argv[sys.argv.index("--ab") + 1])
+    elif "--rank-skew" in sys.argv:
+        main_rank_skew()
     else:
         print(json.dumps(main_single()))
