@@ -532,6 +532,25 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """LLM pretraining sequence packing (concat-and-chunk): documents
+    concatenated in doc_id order and chunked into 2048-token training
+    sequences; each doc reports the pack its first token lands in and
+    the offset inside it. Distributed via the bucketed prefix sum
+    (operators/packing.py) — no single-partition global window."""
+    from crawleria_spark.functions.text import token_count
+    from crawleria_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tok")
+    )
+    bound = docs.agg(F.max("doc_id")).first()[0] + 1
+    packed = pack_sequences(
+        docs, budget=2048, token_col="n_tok", bound_col="doc_id", bound=bound
+    )
+    return packed.select("doc_id", "n_tok", "pack_id", "pack_offset")
+
+
 def q_cosine_topk(spark, sf_dir):
     """ANN baseline: exact brute-force cosine top-k vs query vec_id=0."""
     from crawleria_spark.operators.ann import cosine_topk_brute
@@ -907,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_repetition_filter": q_repetition_filter,
         "q_pii_redaction": q_pii_redaction,
+        "q_pack_sequences": q_pack_sequences,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_dup_pairs": q_embedding_dup_pairs,
         "q_pricing_summary": q_pricing_summary,
@@ -1163,6 +1183,24 @@ def oracle_sql() -> dict[str, str]:
                                         '[EMAIL]', 'g'),
                          '\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g')) AS redacted_fp
             FROM inj
+        """,
+        "q_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                           END)::BIGINT AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tok,
+                     coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS cum_before
+              FROM t)
+            SELECT doc_id, n_tok,
+                   (cum_before // 2048)::BIGINT AS pack_id,
+                   (cum_before % 2048)::BIGINT AS pack_offset
+            FROM c
         """,
         "q_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

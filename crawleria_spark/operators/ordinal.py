@@ -171,3 +171,43 @@ def global_limit_by(
     taken = ranked.filter(F.col("__grank") < limit).drop("__grank")
     rest = ranked.filter(F.col("__grank") >= limit).drop("__grank")
     return taken, rest
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    bound_col: str,
+    order_cols: list[str],
+    weight_col: str,
+    bound: float,
+    col_name: str = "cum_before",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``weight_col`` in ``order_cols`` order —
+    the weighted generalization of ``bucketed_dense_ordinal`` (which is
+    this with weight 1), same properties: pure-expression bucket from a
+    bounded leading key, no sampling job, recompute-safe, offsets are a
+    ≤ num_buckets-row aggregate broadcast back. A bare
+    ``Window.orderBy`` running sum would collapse to one partition.
+    """
+    n = num_buckets or df.sparkSession.sparkContext.defaultParallelism
+    width = max(1.0, float(bound) / n)
+    pid = F.least(F.lit(n - 1), F.floor(F.col(bound_col) / F.lit(width)).cast("int"))
+    keyed = df.withColumn("__pid", pid)
+    sums = keyed.groupBy("__pid").agg(F.sum(weight_col).alias("__w"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.withColumn(
+        "__off", F.coalesce(F.sum("__w").over(w_off), F.lit(0)).cast("long")
+    ).drop("__w")
+    keyed = keyed.join(F.broadcast(offsets), "__pid", "left")
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return keyed.withColumn(
+        col_name,
+        (
+            F.coalesce(F.sum(weight_col).over(w_in), F.lit(0))
+            + F.coalesce(F.col("__off"), F.lit(0))
+        ).cast("long"),
+    ).drop("__pid", "__off")

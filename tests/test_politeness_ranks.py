@@ -118,3 +118,38 @@ def test_bucketed_dense_ordinal_equivalence(spark):
     assert len(tk) == 123
     assert tk == {k for k, v in truth.items() if v - 7 < 123}
     assert rest.count() == 5_000 - 123
+
+
+def test_bucketed_prefix_sum_matches_global_window(spark):
+    """Weighted running sum recomposes exactly across bucket boundaries
+    (exclusive semantics, arbitrary weights incl. zeros), and the
+    packing operator derives consistent pack/offset from it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.operators.ordinal import bucketed_prefix_sum
+    from crawleria_spark.operators.packing import pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, rng.choice([0, 1, 3, 17, 120])) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w long").repartition(7)
+    got = {
+        r["k"]: r["cum_before"]
+        for r in bucketed_prefix_sum(
+            df, "k", ["k"], "w", bound=1000, num_buckets=8
+        ).collect()
+    }
+    acc, want = 0, {}
+    for k, w in rows:
+        want[k] = acc
+        acc += w
+    assert got == want
+
+    packed = {
+        r["k"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(
+            df, budget=256, token_col="w", bound_col="k", bound=1000, num_buckets=8
+        ).collect()
+    }
+    assert packed == {k: (c // 256, c % 256) for k, c in want.items()}
