@@ -467,6 +467,45 @@ def main_ab(battery: str) -> None:
         f.write(json.dumps(report) + "\n```\n")
 
 
+def main_weak_scaling() -> None:
+    """WEAK scaling: per-core-constant work, the real 100 TB deployment
+    shape (a bigger cluster is bought to hold MORE data, not to shrink a
+    fixed 2M round). Levels get N = SPARK_GRAFT_WEAK_N_PER_CORE × cores;
+    perfect scaling = identical walls; efficiency = wall_lo / wall_hi.
+    Same load-gated interleaved min-wall protocol as --scaling."""
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+    per_core = int(os.environ.get("SPARK_GRAFT_WEAK_N_PER_CORE", "125000"))
+    levels = tuple(
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+    )
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for _ in range(repeats):
+        for cores in levels:
+            runs[cores].append(
+                _crawl_subprocess(
+                    cores, {"SPARK_GRAFT_SCALE_N": str(per_core * cores)}
+                )
+            )
+    results = {c: min(rs, key=lambda r: r["wall_sec"]) for c, rs in runs.items()}
+    lo, hi = levels[0], levels[-1]
+    eff = results[lo]["wall_sec"] / results[hi]["wall_sec"]
+    report = {
+        "battery": "weak_scaling",
+        "n_per_core": per_core,
+        f"wall_{lo}c_sec": results[lo]["wall_sec"],
+        f"wall_{hi}c_sec": results[hi]["wall_sec"],
+        f"per_core_urls_per_sec_{lo}c": results[lo]["urls_per_sec_per_core"],
+        f"per_core_urls_per_sec_{hi}c": results[hi]["urls_per_sec_per_core"],
+        f"weak_efficiency_{lo}_to_{hi}": round(eff, 3),
+        "detail": {"results": results, "runs": runs},
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write("\n<!-- bench.py --weak-scaling run -->\n```json\n")
+        f.write(json.dumps(report) + "\n```\n")
+
+
 def main_rank_skew() -> None:
     """Isolated rank-stage skew battery: per-host politeness rank via
     the plain window (one task per host) vs bucketed_host_rank (hot host
@@ -586,5 +625,7 @@ if __name__ == "__main__":
         main_ab(sys.argv[sys.argv.index("--ab") + 1])
     elif "--rank-skew" in sys.argv:
         main_rank_skew()
+    elif "--weak-scaling" in sys.argv:
+        main_weak_scaling()
     else:
         print(json.dumps(main_single()))
