@@ -494,16 +494,17 @@ def q_repetition_filter(spark, sf_dir):
     (dup_word <= 0.55 AND dup_3gram <= 0.2 — thresholds sit at this
     corpus's median so the flag actually discriminates). All-JVM array
     exprs, one codegen span (functions/text.py)."""
-    from crawleria_spark.functions.text import dup_ngram_frac, dup_word_frac
+    from crawleria_spark.functions.text import repetition_stats
 
     docs = _t(spark, sf_dir, "documents")
-    dw = dup_word_frac("text")
-    dn = dup_ngram_frac("text", 3)
+    st = repetition_stats("text", 3)
     return docs.select(
         "doc_id",
-        F.round(dw, 6).alias("dup_word_frac"),
-        F.round(dn, 6).alias("dup_3gram_frac"),
-        ((dw <= 0.55) & (dn <= 0.2)).alias("keep"),
+        F.round(st["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(st["dup_ngram_frac"], 6).alias("dup_3gram_frac"),
+        (
+            (st["dup_word_frac"] <= 0.55) & (st["dup_ngram_frac"] <= 0.2)
+        ).alias("keep"),
     )
 
 

@@ -94,30 +94,55 @@ def fingerprint_xxhash(text: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
-def word_ngrams(text: Column | str, n: int) -> Column:
-    """Word n-grams as space-joined strings — all JVM array exprs (one
-    whole-stage-codegen span, no Python crossing). Empty array when the
-    doc has fewer than n tokens (sequence(1, size-n+1) would otherwise
-    step BACKWARD for short docs — Spark's sequence defaults to step -1
-    when start > stop)."""
-    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
-    n_tok = F.size(toks)
+def _bind(arr: Column, fn) -> Column:
+    """Evaluate ``arr`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable: ``element_at(transform(array(arr), fn), 1)``.
+
+    Why this exists: Spark's higher-order-function lambdas run
+    INTERPRETED (outside whole-stage codegen), and any OUTER expression
+    the lambda captures is re-evaluated on every element visit — only
+    the lambda's own variables are bound values. So
+    ``transform(sequence(...), i -> f(toks[i]))`` with a captured
+    ``toks = split(...)`` re-runs the regex split per element: O(n²)
+    splits per row. Binding through a one-element array makes it a
+    variable lookup. Measured on q_repetition_filter at sf0.1:
+    15.1 s → 0.6 s (24×)."""
+    return F.element_at(F.transform(F.array(arr), fn), 1)
+
+
+def _tokens(text: Column | str) -> Column:
+    return F.split(F.lower(F.trim(_c(text))), r"\s+")
+
+
+def _ngrams_of(t: Column, n: int) -> Column:
+    """n-grams over a BOUND token array (see _bind): unrolled
+    element_at + concat_ws, no per-position slice allocation. Empty
+    array when the doc has fewer than n tokens (sequence(1, size-n+1)
+    would otherwise step BACKWARD — Spark's sequence defaults to step
+    -1 when start > stop)."""
     grams = F.transform(
-        F.sequence(F.lit(1), n_tok - n + 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.sequence(F.lit(1), F.size(t) - n + 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
-    return F.when(n_tok >= n, grams).otherwise(
+    return F.when(F.size(t) >= n, grams).otherwise(
         F.array().cast(T.ArrayType(T.StringType()))
     )
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Word n-grams as space-joined strings — all JVM array exprs, with
+    the token array bound once per row (_bind)."""
+    return _bind(_tokens(text), lambda t: _ngrams_of(t, n))
 
 
 def dup_word_frac(text: Column | str) -> Column:
     """Gopher-style repetition signal: fraction of word occurrences that
     are repeats of an earlier word (1 - distinct/total; 0 for empty)."""
-    toks = F.split(F.lower(F.trim(_c(text))), r"\s+")
-    n = F.size(toks)
-    return F.when(n <= 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+    return _bind(
+        _tokens(text),
+        lambda t: F.when(F.size(t) <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t)
+        ),
     )
 
 
@@ -125,11 +150,29 @@ def dup_ngram_frac(text: Column | str, n: int = 3) -> Column:
     """Fraction of word n-gram occurrences that are repeats (the
     Gopher/C4 duplicate-n-gram filter signal; boilerplate and spam
     score high). 0 for docs shorter than n tokens."""
-    grams = word_ngrams(text, n)
-    total = F.size(grams)
-    return F.when(total <= 0, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
-    )
+    return repetition_stats(text, n)["dup_ngram_frac"]
+
+
+def repetition_stats(text: Column | str, n: int = 3) -> Column:
+    """Both repetition signals in ONE pass: struct(dup_word_frac,
+    dup_ngram_frac). Tokenization, n-gram construction, and the two
+    distinct-counts each evaluate exactly once per row (nested _bind)."""
+
+    def outer(t: Column) -> Column:
+        def inner(g: Column) -> Column:
+            dn = F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g)
+            )
+            dw = F.when(F.size(t) <= 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t)
+            )
+            return F.struct(
+                dw.alias("dup_word_frac"), dn.alias("dup_ngram_frac")
+            )
+
+        return _bind(_ngrams_of(t, n), inner)
+
+    return _bind(_tokens(text), outer)
 
 
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
