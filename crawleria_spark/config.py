@@ -64,10 +64,12 @@ class CrawlConfig:
     # bytes/key capacity, probe fpp ≈ 1.2e-4, supports DELETION —
     # required by CrawlEngine.forget's O(filter) re-crawl path).
     # Active only when the engine is built with use_bloom=True.
-    # Measured (BENCH/BASELINE.md round-4 filter A/B, 2M URLs): bloom's
-    # probe floor is lower (42 vs 67 s best round); pick cuckoo when the
-    # deployment uses forget/refresh, bloom otherwise. The kind persists
-    # in catalog meta at init, so decide it once per catalog.
+    # Measured (BENCH/BASELINE.md round-4 filter A/B + kernel profile,
+    # 2M URLs): the two kinds are throughput-equivalent — the probe is
+    # ~1 s/2M keys on one core, invisible in a round. Pick cuckoo when
+    # the deployment uses forget/refresh (O(filter) deletion); bloom
+    # otherwise (half the state bytes/key). The kind persists in
+    # catalog meta at init, so decide it once per catalog.
     seen_filter: str = "bloom"
     bloom_fpp: float = 0.01
     bloom_capacity_per_partition: int = 1_000_000
