@@ -533,6 +533,21 @@ def q_pii_redaction(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic ~25% document sample keyed on doc_id
+    (operators/sampling.py): row selected iff the first 6 hex chars of
+    md5('s1'||doc_id) sort below the fraction threshold — fixed-length
+    lowercase hex compares numerically and md5 exists on both engines,
+    so the DuckDB oracle runs the SAME predicate. Reproducible without
+    stored state; stratification is automatic (per-row decision), shown
+    here by returning lang alongside. Pure JVM filter, pushes into the
+    scan."""
+    from crawleria_spark.operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_sample(docs, 0.25, "doc_id", salt="s1")
+
+
 def q_pack_sequences(spark, sf_dir):
     """LLM pretraining sequence packing (concat-and-chunk): documents
     concatenated in doc_id order and chunked into 2048-token training
@@ -927,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_repetition_filter": q_repetition_filter,
         "q_pii_redaction": q_pii_redaction,
+        "q_stratified_sample": q_stratified_sample,
         "q_pack_sequences": q_pack_sequences,
         "q_cosine_topk": q_cosine_topk,
         "q_embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1184,6 +1200,10 @@ def oracle_sql() -> dict[str, str]:
                                         '[EMAIL]', 'g'),
                          '\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g')) AS redacted_fp
             FROM inj
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5('s1' || doc_id), 1, 6) < '400000'
         """,
         "q_pack_sequences": """
             WITH t AS (

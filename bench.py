@@ -40,11 +40,12 @@ HEADLINE = [
     "q_word_jaccard_pairs",
     "q_exact_dup_groups",
     # round-4 additions — totals before/after r4 are not comparable
-    # (4 more queries in the sum); compare per-query
+    # (5 more queries in the sum); compare per-query
     "q_decontaminate",
     "q_repetition_filter",
     "q_pii_redaction",
     "q_pack_sequences",
+    "q_stratified_sample",
     "q_cosine_topk",
     "q_embedding_dup_pairs",
     "q_minhash_dup_pairs",

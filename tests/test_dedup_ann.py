@@ -323,3 +323,31 @@ def test_decontaminate(spark):
     got = {r["doc_id"]: r["n_hits"] for r in contaminated.collect()}
     assert got == {0: 1, 1: 2}
     assert sorted(r["doc_id"] for r in clean.collect()) == [2, 3, 4]
+
+
+def test_deterministic_sampling_and_split(spark):
+    """Sampling is reproducible, salt-independent draws differ, the
+    split is disjoint+exhaustive on the same coordinate, and the
+    realized fraction lands near the target."""
+    from crawleria_spark.operators.sampling import (
+        deterministic_sample,
+        split_train_eval,
+    )
+
+    df = spark.range(4000).withColumnRenamed("id", "k")
+    s1 = sorted(r["k"] for r in deterministic_sample(df, 0.2, "k", "a").collect())
+    s2 = sorted(r["k"] for r in deterministic_sample(df, 0.2, "k", "a").collect())
+    assert s1 == s2  # reproducible
+    s3 = sorted(r["k"] for r in deterministic_sample(df, 0.2, "k", "b").collect())
+    assert s1 != s3  # independent draw under a different salt
+    assert 0.15 < len(s1) / 4000 < 0.25  # binomial around the target
+
+    train, ev = split_train_eval(df, 0.3, "k", "a")
+    tr = {r["k"] for r in train.collect()}
+    evs = {r["k"] for r in ev.collect()}
+    assert tr.isdisjoint(evs) and len(tr) + len(evs) == 4000
+    # nesting: a smaller fraction with the same salt is a subset (hash
+    # coordinate is shared), the property that makes corpus downsampling
+    # monotone across runs
+    s_small = {r["k"] for r in deterministic_sample(df, 0.1, "k", "a").collect()}
+    assert s_small <= set(s1)
