@@ -73,7 +73,13 @@ def test_corpus_hygiene_plans(spark, entry):
     keeps the corpus side shuffle-free: the benchmark n-gram set and
     the contaminated-id set are the ONLY broadcast sides."""
     qs = entry.queries()
-    for name in ("q_repetition_filter", "q_pii_redaction", "q_decontaminate"):
+    for name in (
+        "q_repetition_filter",
+        "q_pii_redaction",
+        "q_decontaminate",
+        "q_pack_sequences",
+        "q_stratified_sample",
+    ):
         plan = _plan(qs[name](spark, SF_DIR))
         assert "EvalPython" not in plan, name
     decon = _plan(qs["q_decontaminate"](spark, SF_DIR))
