@@ -509,25 +509,39 @@ def q_repetition_filter(spark, sf_dir):
 
 
 def q_pii_redaction(spark, sf_dir):
-    """PII redaction: emails then phone-shaped numbers →
-    [EMAIL]/[PHONE], pure JVM regexp_replace (patterns chosen to parse
-    identically in Java regex and RE2 — functions/text.py). The corpus
-    is synthetic and PII-free, so the query INJECTS one deterministic
-    email + phone per doc (derived from doc_id) before redacting —
-    the oracle proves the redaction fires, not that clean text stays
-    clean. Output is the match count + md5 of the redacted text."""
-    from crawleria_spark.functions.text import pii_count, pii_redact
+    """PII redaction across five classes — email, intl (+-prefixed)
+    phone, IPv4, SSN, US 3-3-4 phone — pure JVM regexp_replace chain
+    (patterns parse identically in Java regex and RE2 —
+    functions/text.py PII_CLASSES; each class is counted on the text
+    AFTER earlier classes were redacted, so counts == replacements
+    performed). The corpus is synthetic and PII-free, so the query
+    INJECTS one deterministic instance of each class per doc (derived
+    from doc_id) before redacting — the oracle proves each class's
+    redaction fires. Output is per-class counts, the total, and md5 of
+    the redacted text."""
+    from crawleria_spark.functions.text import pii_count, pii_counts, pii_redact
 
     docs = _t(spark, sf_dir, "documents")
+    d4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
-        F.lit("@example.com or 415-555-"),
-        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("@example.com or 415-555-"), d4,
+        F.lit(" call +44 20 7946 "), d4,
+        F.lit(" ssn 123-45-"), d4,
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1 end"),
     )
+    c = pii_counts(injected)
     return docs.select(
         "doc_id",
+        c["n_email"].alias("n_email"),
+        c["n_phone_intl"].alias("n_phone_intl"),
+        c["n_ipv4"].alias("n_ipv4"),
+        c["n_ssn"].alias("n_ssn"),
+        c["n_phone"].alias("n_phone"),
         pii_count(injected).alias("n_pii"),
         F.md5(pii_redact(injected)).alias("redacted_fp"),
     )
@@ -553,14 +567,19 @@ def q_pack_sequences(spark, sf_dir):
     concatenated in doc_id order and chunked into 2048-token training
     sequences; each doc reports the pack its first token lands in and
     the offset inside it. Distributed via the bucketed prefix sum
-    (operators/packing.py) — no single-partition global window."""
+    (operators/packing.py) — no single-partition global window. The
+    bucketing bound comes from parquet FOOTER stats (sources/stats.py,
+    the file-layout twin of Iceberg manifest column bounds) — no
+    driver-side Spark job during query construction; empty tables fall
+    back to bound=1 (single bucket, still correct)."""
     from crawleria_spark.functions.text import token_count
     from crawleria_spark.operators.packing import pack_sequences
+    from crawleria_spark.sources.stats import key_bound
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").cast("long").alias("n_tok")
     )
-    bound = docs.agg(F.max("doc_id")).first()[0] + 1
+    bound = key_bound(os.path.join(sf_dir, "documents.parquet"), "doc_id")
     packed = pack_sequences(
         docs, budget=2048, token_col="n_tok", bound_col="doc_id", bound=bound
     )
@@ -1190,16 +1209,32 @@ def oracle_sql() -> dict[str, str]:
             WITH inj AS (
               SELECT doc_id,
                      text || ' contact user' || doc_id || '@example.com or 415-555-'
-                          || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
-              FROM documents)
-            SELECT doc_id,
-                   (len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-                    + len(regexp_extract_all(t, '\\d{3}[-. ]\\d{3}[-. ]\\d{4}')))::INT AS n_pii,
-                   md5(regexp_replace(
-                         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                                        '[EMAIL]', 'g'),
-                         '\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g')) AS redacted_fp
-            FROM inj
+                          || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          || ' call +44 20 7946 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          || ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                          || ' from 10.' || (doc_id % 256) || '.0.1 end' AS t0
+              FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                          regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+                   FROM inj),
+            s2 AS (SELECT *, len(regexp_extract_all(t1, '\\+\\d{1,3}[-. ]?\\d{1,4}([-. ]?\\d{2,4}){0,2}[-. ]?\\d{3,4}')) AS n_phone_intl,
+                          regexp_replace(t1, '\\+\\d{1,3}[-. ]?\\d{1,4}([-. ]?\\d{2,4}){0,2}[-. ]?\\d{3,4}', '[PHONE]', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT *, len(regexp_extract_all(t2, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS n_ipv4,
+                          regexp_replace(t2, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '[IP]', 'g') AS t3
+                   FROM s2),
+            s4 AS (SELECT *, len(regexp_extract_all(t3, '\\d{3}-\\d{2}-\\d{4}')) AS n_ssn,
+                          regexp_replace(t3, '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g') AS t4
+                   FROM s3),
+            s5 AS (SELECT *, len(regexp_extract_all(t4, '\\d{3}[-. ]\\d{3}[-. ]\\d{4}')) AS n_phone,
+                          regexp_replace(t4, '\\d{3}[-. ]\\d{3}[-. ]\\d{4}', '[PHONE]', 'g') AS t5
+                   FROM s4)
+            SELECT doc_id, n_email::INT AS n_email, n_phone_intl::INT AS n_phone_intl,
+                   n_ipv4::INT AS n_ipv4, n_ssn::INT AS n_ssn, n_phone::INT AS n_phone,
+                   (n_email + n_phone_intl + n_ipv4 + n_ssn + n_phone)::INT AS n_pii,
+                   md5(t5) AS redacted_fp
+            FROM s5
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -176,28 +176,62 @@ def repetition_stats(text: Column | str, n: int = 3) -> Column:
 
 
 # PII patterns chosen to mean the same thing in Java regex (Spark) and
-# RE2 (DuckDB oracle): no backrefs, no lookaround, no \b.
+# RE2 (DuckDB oracle): no backrefs, no lookaround, no \b. Shape-based
+# (no checksum/range validation) — a hygiene pass, not a validator.
+# PII_CLASSES order IS the redaction order: emails first (their digit
+# runs are gone before any phone pass), then +-prefixed intl phones,
+# then IPv4 (4 dot-separated octets — disjoint from the 3-group dotted
+# US phone shape), then SSN (3-2-4), then US phone (3-3-4).
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_INTL_RE = r"\+\d{1,3}[-. ]?\d{1,4}([-. ]?\d{2,4}){0,2}[-. ]?\d{3,4}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_SSN_RE = r"\d{3}-\d{2}-\d{4}"
 PII_PHONE_RE = r"\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+PII_CLASSES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "[EMAIL]"),
+    ("phone_intl", PII_PHONE_INTL_RE, "[PHONE]"),
+    ("ipv4", PII_IPV4_RE, "[IP]"),
+    ("ssn", PII_SSN_RE, "[SSN]"),
+    ("phone", PII_PHONE_RE, "[PHONE]"),
+]
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of per-class PII match counts (n_email, n_phone_intl,
+    n_ipv4, n_ssn, n_phone). Each class is counted on the text AFTER
+    the previous classes were redacted, so every count equals the
+    number of replacements ``pii_redact`` performs for that class —
+    no cross-class double counting (an email's digits can't also
+    count as a phone, a +-prefixed intl number can't recount as a
+    bare 3-3-4)."""
+    t = _c(text)
+    fields = []
+    for name, pat, token in PII_CLASSES:
+        fields.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("int").alias(f"n_{name}")
+        )
+        t = F.regexp_replace(t, pat, token)
+    return F.struct(*fields)
 
 
 def pii_count(text: Column | str) -> Column:
-    """Number of PII matches (emails + phone-shaped numbers). Counted
-    BEFORE redaction; email digits can't double-count as phones because
-    the phone shape requires separator-delimited 3-3-4 groups."""
-    t = _c(text)
-    return (
-        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0))
-        + F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0))
-    ).cast("int")
+    """Total PII matches across all classes (sum of ``pii_counts``
+    fields) == total replacements ``pii_redact`` performs."""
+    c = pii_counts(text)
+    total = F.lit(0)
+    for name, _, _ in PII_CLASSES:
+        total = total + c[f"n_{name}"]
+    return total.cast("int")
 
 
 def pii_redact(text: Column | str) -> Column:
-    """Redact emails then phone-shaped numbers (emails first so their
-    digit runs are gone before the phone pass). Pure JVM regexp_replace
-    — global by default, matching DuckDB's 'g' flag."""
-    t = F.regexp_replace(_c(text), PII_EMAIL_RE, "[EMAIL]")
-    return F.regexp_replace(t, PII_PHONE_RE, "[PHONE]")
+    """Redact every PII class in PII_CLASSES order. Pure JVM
+    regexp_replace — global by default, matching DuckDB's 'g' flag."""
+    t = _c(text)
+    for _, pat, token in PII_CLASSES:
+        t = F.regexp_replace(t, pat, token)
+    return t
 
 
 # --------------------------------------------------------------------------

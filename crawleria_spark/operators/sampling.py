@@ -40,8 +40,18 @@ def sample_predicate(key: Column | str, frac: float, salt: str = "") -> Column:
     if not 0.0 <= frac <= 1.0:
         raise ValueError(f"frac must be in [0, 1], got {frac}")
     key = F.col(key) if isinstance(key, str) else key
-    threshold = format(int(round(frac * 16**HEX_DIGITS)), f"0{HEX_DIGITS}x")
-    return _bucket_hex(key, salt) < F.lit(threshold)
+    units = int(round(frac * 16**HEX_DIGITS))
+    if units >= 16**HEX_DIGITS:
+        # Saturated threshold: 16^HEX_DIGITS formats to HEX_DIGITS+1 chars,
+        # and a 7-char string compares lexicographically against 6-char hex
+        # ('1000000' would select only hashes starting '0' ~ 6.25%). frac
+        # within ~6e-8 of 1.0 means "everything" at this resolution.
+        return F.lit(True)
+    threshold = format(units, f"0{HEX_DIGITS}x")
+    # coalesce: md5(NULL key) is NULL -> pred NULL -> the row would vanish
+    # from BOTH filter(pred) and filter(~pred). Null keys deterministically
+    # land outside the sample (train side of split_train_eval).
+    return F.coalesce(_bucket_hex(key, salt) < F.lit(threshold), F.lit(False))
 
 
 def deterministic_sample(
@@ -57,6 +67,7 @@ def split_train_eval(
     """(train, eval) split on the same hash coordinate: disjoint,
     exhaustive, reproducible — the standard held-out-set primitive
     (pair with ``operators.dedup.decontaminate`` to keep eval n-grams
-    out of train)."""
+    out of train). NULL keys land in train (the predicate coalesces
+    NULL to False), keeping the split exhaustive."""
     pred = sample_predicate(key_col, eval_frac, salt)
     return df.filter(~pred), df.filter(pred)

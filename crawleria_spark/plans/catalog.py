@@ -156,8 +156,12 @@ class MemoryCatalog(Catalog):
             return self._manifests[version]
 
     def _read_segments(self, keys: list[str]) -> DataFrame:
-        schema = self._segments[keys[-1]][0]
-        rows = [r for k in keys for r in self._segments[k][1]]
+        # snapshot (schema, rows) under the lock: a concurrent gc() from the
+        # engine's pipelined-commit thread may delete a segment between the
+        # manifest load and this read otherwise.
+        with self._lock:
+            schema = self._segments[keys[-1]][0]
+            rows = [r for k in keys for r in self._segments[k][1]]
         return self.spark.createDataFrame(rows, schema)
 
     def read(self, table: str) -> DataFrame:

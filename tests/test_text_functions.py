@@ -147,6 +147,11 @@ def test_pii_redaction_and_count(spark):
         ("mail me at a.b+c@ex-ample.co.uk today", 1, "mail me at [EMAIL] today"),
         ("call 415-555-0134 or 415 555 0199", 2, "call [PHONE] or [PHONE]"),
         ("x@y.io and 212.555.0100", 2, "[EMAIL] and [PHONE]"),
+        ("ring +1 415-555-0134 or +44 20 7946 0958", 2, "ring [PHONE] or [PHONE]"),
+        ("ssn 123-45-6789 leaked", 1, "ssn [SSN] leaked"),
+        ("from 192.168.100.1 and 10.0.0.7", 2, "from [IP] and [IP]"),
+        ("mix a@b.io +33 1 4723 0145 10.1.2.3 987-65-4321 415-555-0134", 5,
+         "mix [EMAIL] [PHONE] [IP] [SSN] [PHONE]"),
         ("no pii here 12345", 0, "no pii here 12345"),
         ("", 0, ""),
     ]
