@@ -351,3 +351,65 @@ def test_deterministic_sampling_and_split(spark):
     # monotone across runs
     s_small = {r["k"] for r in deterministic_sample(df, 0.1, "k", "a").collect()}
     assert s_small <= set(s1)
+
+
+def test_ann_index_probes_equal_scan_probes(spark, vectors, tmp_path):
+    """The persisted index (ann_index.py) must return the same results
+    as the scan-time probes with the same centroids/planes, while its
+    probe reads only the matching partition directories."""
+    from pyspark.sql import functions as F
+
+    from crawleria_spark.operators.ann import cosine_topk_ivf, ivf_centroids
+    from crawleria_spark.operators.ann_index import (
+        AnnIndex,
+        build_ann_index,
+        ivf_probe_topk,
+        lsh_probe_topk,
+    )
+
+    q = [float(x) for x in np.ones(16) / 4.0]
+    cents = ivf_centroids(vectors, n_centroids=4, sample_rows=100, seed=7)
+    root = str(tmp_path / "annidx")
+    idx = build_ann_index(
+        vectors, root, n_centroids=4, n_planes=4, n_tables=8, seed=42,
+        centroids=cents,
+    )
+    assert AnnIndex.exists(root)
+
+    # reload from disk: self-contained (no re-derived randomness)
+    idx2 = AnnIndex(spark, root)
+    assert np.allclose(idx2.centroids, cents)
+
+    # IVF: indexed probe == scan probe at every nprobe; all-cells == brute
+    brute = [r["vec_id"] for r in cosine_topk_brute(vectors, q, k=5).collect()]
+    for nprobe in (1, 2, 4):
+        scan = [
+            r["vec_id"]
+            for r in cosine_topk_ivf(
+                vectors, q, k=5, centroids=cents, nprobe=nprobe
+            ).collect()
+        ]
+        indexed = [r["vec_id"] for r in ivf_probe_topk(idx2, q, k=5, nprobe=nprobe).collect()]
+        assert indexed == scan, nprobe
+    assert [r["vec_id"] for r in ivf_probe_topk(idx2, q, k=5, nprobe=4).collect()] == brute
+
+    # LSH: indexed probe == scan probe (same planes seed), top-1 recall
+    scan_lsh = [
+        r["vec_id"]
+        for r in cosine_topk_lsh(vectors, q, k=5, n_planes=4, n_tables=8, seed=42).collect()
+    ]
+    idx_lsh = [r["vec_id"] for r in lsh_probe_topk(idx2, q, k=5).collect()]
+    assert idx_lsh == scan_lsh
+    assert brute[0] in idx_lsh
+
+    # partition pruning is REAL: the probe touches fewer parquet files
+    # than the table holds (runtime truth via input_file_name, plus the
+    # pruned-partition count in the formatted plan)
+    ivf_all = {r[0] for r in idx2.ivf_df().select(F.input_file_name()).distinct().collect()}
+    probed_df = idx2.ivf_df().filter(F.col("ivf_cell").isin([0]))
+    probed = {r[0] for r in probed_df.select(F.input_file_name()).distinct().collect()}
+    assert probed and len(probed) < len(ivf_all)
+    lsh_all = {r[0] for r in idx2.lsh_df().select(F.input_file_name()).distinct().collect()}
+    one_bucket = idx2.lsh_df().filter((F.col("table_id") == 0) & (F.col("code") == 0))
+    probed_lsh = {r[0] for r in one_bucket.select(F.input_file_name()).distinct().collect()}
+    assert len(probed_lsh) < len(lsh_all)

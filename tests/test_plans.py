@@ -122,3 +122,29 @@ def test_media_enrichment_broadcasts(spark):
     )
     media = spark.createDataFrame([("d1", "m")], "doc_id string, media_ref string")
     assert "BroadcastHashJoin" in _plan(enrich_with_media(results, media))
+
+
+def test_ann_probes_prune_partitions(spark, entry):
+    """The r5 indexed ANN layout: probe plans must filter on PARTITION
+    columns (directory pruning — the scan reads ~nprobe/n_centroids or
+    n_tables buckets of the index, never the full table) and contain NO
+    Python at probe time (the signature recompute moved to ingest)."""
+    qs = entry.queries()
+    ivf = _plan(qs["q_ann_ivf_topk"](spark, SF_DIR))
+    lsh = _plan(qs["q_ann_lsh_topk"](spark, SF_DIR))
+    assert "PartitionFilters: [ivf_cell" in ivf
+    assert "EvalPython" not in ivf
+    # OR-of-(table_id, code) conjunctions lands in PartitionFilters
+    assert "PartitionFilters: [" in lsh and "table_id" in lsh.split("PartitionFilters: [", 1)[1][:400]
+    assert "EvalPython" not in lsh
+
+    # runtime truth, not just plan text: probed files < index files
+    from pyspark.sql import functions as F
+
+    idx = entry._ann_index(spark, SF_DIR)
+    all_files = idx.ivf_df().select(F.input_file_name()).distinct().count()
+    probed = (
+        idx.ivf_df().filter(F.col("ivf_cell").isin([0, 1, 2]))
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert 0 < probed < all_files
