@@ -9,12 +9,15 @@ this offline sandbox) — runs the identical crawl. The final test proves
 that end-to-end by crawling the same world on two backends and
 comparing the full committed state."""
 
+import uuid
+
 import pytest
 from pyspark.sql import Row, types as T
 
 from crawleria_spark.config import CrawlConfig
 from crawleria_spark.plans.catalog import MemoryCatalog
 from crawleria_spark.plans.engine import CrawlEngine
+from crawleria_spark.plans.iceberg import IcebergCatalog
 from crawleria_spark.plans.snapshot import SnapshotCatalog
 from crawleria_spark.sources.fetch import synthetic_fetcher
 from crawleria_spark.synthetic.world import WorldConfig, robots_rules, seed_urls
@@ -27,14 +30,22 @@ SCHEMA = T.StructType(
 )
 
 
-@pytest.fixture(params=["snapshot", "memory"])
+@pytest.fixture(params=["snapshot", "memory", "iceberg"])
 def make_catalog(request, spark, tmp_path):
+    if request.param == "iceberg" and not IcebergCatalog.available(spark):
+        pytest.skip("iceberg-spark-runtime jar not on the session classpath")
     counter = [0]
 
     def factory():
         counter[0] += 1
         if request.param == "snapshot":
             return SnapshotCatalog(spark, str(tmp_path / f"cat{counter[0]}"))
+        if request.param == "iceberg":
+            return IcebergCatalog(
+                spark,
+                namespace=f"ns_{uuid.uuid4().hex[:8]}",
+                warehouse=str(tmp_path / "warehouse"),
+            )
         return MemoryCatalog(spark)
 
     return factory
@@ -132,11 +143,21 @@ def test_memory_catalog_rejects_streaming(spark):
         MemoryCatalog(spark).published_path("fetch_log")
 
 
+def test_iceberg_gated_not_stubbed(spark):
+    """Without the jar, IcebergCatalog must refuse loudly at
+    construction (not half-work); with it, the suite above runs."""
+    if IcebergCatalog.available(spark):
+        pytest.skip("jar present — the parametrized suite covers it")
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        IcebergCatalog(spark, namespace="x")
+
+
 def test_engine_crawl_identical_across_backends(spark, tmp_path):
     """The conformance capstone: the SAME crawl (seeds, world, robots,
-    budgets, pipelined commits) over SnapshotCatalog and MemoryCatalog
-    must commit identical fetch_log / seen / documents state — the
-    engine is storage-agnostic through the Catalog ABC."""
+    budgets, pipelined commits) over every available backend
+    (SnapshotCatalog, MemoryCatalog, IcebergCatalog when the jar is on
+    the classpath) must commit identical fetch_log / seen / documents
+    state — the engine is storage-agnostic through the Catalog ABC."""
     world = WorldConfig(seed=11, n_hosts=5, pages_per_host=20, mean_links=4)
     cfg = CrawlConfig(max_depth=2, max_pages=30, max_concurrent_per_host=3)
     seeds = seed_urls(world, n=3)
@@ -154,12 +175,23 @@ def test_engine_crawl_identical_across_backends(spark, tmp_path):
         meta = cat.latest_meta()
         return log, seen, docs, (meta["round"], meta["fetched_total"])
 
+    backends = [SnapshotCatalog(spark, str(tmp_path / "snap")), MemoryCatalog(spark)]
+    if IcebergCatalog.available(spark):
+        backends.append(
+            IcebergCatalog(
+                spark,
+                namespace=f"crawl_{uuid.uuid4().hex[:8]}",
+                warehouse=str(tmp_path / "warehouse"),
+            )
+        )
     states = {}
-    for cat in (SnapshotCatalog(spark, str(tmp_path / "snap")), MemoryCatalog(spark)):
+    for cat in backends:
         eng = CrawlEngine(
             spark, cat, cfg, synthetic_fetcher(world),
             robots_rows=robots_rules(world),
         )
         eng.crawl(seeds, max_rounds=20)
         states[type(cat).__name__] = final_state(cat)
-    assert states["SnapshotCatalog"] == states["MemoryCatalog"]
+    base = states["SnapshotCatalog"]
+    for name, st in states.items():
+        assert st == base, name
