@@ -154,13 +154,17 @@ def _pnm_header(data: bytes) -> dict:
 
 
 def decode_pixels(data: bytes) -> np.ndarray | None:
-    """(h, w, 3) uint8 RGB array for the uncompressed formats (24-bit
-    BMP, P6 PPM); None for formats whose pixel decode needs a real codec
-    (png/gif/jpeg — header decode still works for those)."""
+    """(h, w, 3) uint8 RGB array for the formats with a vendored pixel
+    path — 24-bit BMP, P6 PPM, and (since r5) non-interlaced 8-bit PNG
+    (gray/RGB/RGBA via stdlib-zlib IDAT inflate + unfilter); None for
+    gif/jpeg, whose pixel decode needs a real codec lib (header decode
+    still works for those)."""
     if data.startswith(b"BM"):
         return _bmp_pixels(data)
     if data[:2] == b"P6":
         return _ppm_pixels(data)
+    if data.startswith(_PNG_SIG):
+        return _png_pixels(data)
     return None
 
 
@@ -226,3 +230,116 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     header = b"BM" + struct.pack("<IHHI", offset + len(pixels), 0, 0, offset)
     dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
     return header + dib + pixels
+
+
+# -- PNG pixel layer: stdlib-zlib IDAT inflate + unfilter --------------------
+# The reference's dominant screenshot format is PNG (its media glob,
+# src/main.py:268), so the pixel path covers it without PIL: chunk walk,
+# concatenated-IDAT zlib inflate, per-scanline unfilter (all five PNG
+# filter types), non-interlaced 8-bit gray / RGB / RGBA.
+
+
+def _png_pixels(data: bytes) -> np.ndarray:
+    import zlib
+
+    i, n = 8, len(data)
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        if len(body) < length:
+            raise CodecError("PNG: truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13:
+        raise CodecError("PNG: missing IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8 or color not in (0, 2, 6) or comp != 0 or filt != 0:
+        raise CodecError(
+            f"PNG: unsupported encoding (depth={depth}, color type={color})"
+        )
+    if interlace != 0:
+        raise CodecError("PNG: Adam7 interlace not supported")
+    if not idat:
+        raise CodecError("PNG: no IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise CodecError(f"PNG: corrupt IDAT stream ({e})") from e
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise CodecError("PNG: scanline data size mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else zero
+        if f == 0:  # None
+            rec = cur
+        elif f == 1:  # Sub: per-lane prefix sum
+            rec = (np.cumsum(cur.reshape(w, ch), axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            rec = (cur + prev) % 256
+        elif f == 3:  # Average (left-dependent: per-byte walk)
+            rec = cur
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth (left-dependent: per-byte walk)
+            rec = cur
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise CodecError(f"PNG: unknown filter type {f}")
+        out[y] = rec.astype(np.uint8)
+    arr = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    return arr[:, :, :3].copy()  # RGBA: drop alpha
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal non-interlaced RGB8 PNG: filter-0 scanlines, one zlib
+    IDAT — round-trips through ``decode_pixels`` byte-exactly."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    body = arr.astype(np.uint8)
+    raw = (
+        np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), body.reshape(h, w * 3)], axis=1
+        )
+        .tobytes()
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

@@ -140,12 +140,13 @@ def resize_images(
 
     Target dimensions are always computed for real. With
     ``reencode=True`` the payload is ALSO resized for real wherever the
-    vendored pure-Python codecs can decode pixels (uncompressed 24-bit
-    BMP, P6 PPM — codecs.py): decode → nearest-neighbor resample →
-    re-encode, with ``reencoded`` marking which rows carry new bytes;
-    compressed formats (png/jpeg/gif) pass through unchanged (their
-    re-encode needs a real codec lib). The default leaves every payload
-    untouched — the oracle-pinned q_media_pipeline path."""
+    vendored pure-Python codecs can decode pixels (24-bit BMP, P6 PPM,
+    and non-interlaced 8-bit PNG via the stdlib-zlib path — codecs.py):
+    decode → nearest-neighbor resample → re-encode in the source
+    format, with ``reencoded`` marking which rows carry new bytes;
+    gif/jpeg pass through unchanged (their re-encode needs a real codec
+    lib). The default leaves every payload untouched — the
+    oracle-pinned q_media_pipeline path."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -159,9 +160,11 @@ def resize_images(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if reencode:
             from crawleria_spark.multimodal.codecs import (
+                _PNG_SIG,
                 CodecError,
                 decode_pixels,
                 encode_bmp,
+                encode_png,
                 encode_ppm,
                 resize_nearest,
             )
@@ -190,7 +193,13 @@ def resize_images(
                             arr = None  # corrupt: keep original payload
                         if arr is not None:
                             resized_arr = resize_nearest(arr, int(w2), int(h2))
-                            enc = encode_bmp if bytes(data)[:2] == b"BM" else encode_ppm
+                            head = bytes(data)[:8]
+                            if head[:2] == b"BM":
+                                enc = encode_bmp
+                            elif head == _PNG_SIG:
+                                enc = encode_png
+                            else:
+                                enc = encode_ppm
                             new = enc(resized_arr)
                     payloads.append(new if new is not None else data)
                     done.append(new is not None)

@@ -188,10 +188,15 @@ def test_real_resize_reencode(spark):
 
     rng = np.random.default_rng(0)
     wide = rng.integers(0, 256, size=(60, 240, 3), dtype=np.uint8)
+    from crawleria_spark.multimodal.codecs import encode_png
+
     rows = [
         ("bmp_wide", "image", bytearray(encode_bmp(wide))),
         ("ppm_wide", "image", bytearray(encode_ppm(wide))),
-        ("png_wide", "image", bytearray(_make_png(240, 60))),
+        ("png_wide", "image", bytearray(encode_png(wide))),
+        ("gif_wide", "image", bytearray(
+            b"GIF89a" + np.uint16([240, 60]).tobytes() + b"\x00" * 6
+        )),
         ("ppm_ok", "image", bytearray(encode_ppm(wide[:, :100]))),
     ]
     df = spark.createDataFrame(rows, "media_id string, media_type string, content binary")
@@ -199,18 +204,119 @@ def test_real_resize_reencode(spark):
         r["media_id"]: r
         for r in resize_images(decode_media(df), max_width=120, reencode=True).collect()
     }
-    for mid in ("bmp_wide", "ppm_wide"):
+    # PNG joins BMP/PPM in the real pixel path since r5 (zlib IDAT decode)
+    for mid in ("bmp_wide", "ppm_wide", "png_wide"):
         r = out[mid]
-        assert r["resized"] and r["reencoded"]
+        assert r["resized"] and r["reencoded"], mid
         meta2 = parse_image_header(bytes(r["content"]))
-        assert (meta2["width"], meta2["height"]) == (120, 30)
-        assert decode_pixels(bytes(r["content"])).shape == (30, 120, 3)
+        assert (meta2["width"], meta2["height"]) == (120, 30), mid
+        assert decode_pixels(bytes(r["content"])).shape == (30, 120, 3), mid
+        assert meta2["format"] == mid.split("_")[0]  # re-encoded in-kind
     # nearest-neighbor resample is deterministic: spot-check one pixel
-    resampled = decode_pixels(bytes(out["ppm_wide"]["content"]))
-    assert (resampled[0, 0] == wide[0, 0]).all()
-    # compressed format: resize plan computed, payload passes through
-    png_row = out["png_wide"]
-    assert png_row["resized"] and not png_row["reencoded"]
-    assert bytes(png_row["content"]) == bytes(_make_png(240, 60))
+    for mid in ("ppm_wide", "png_wide"):
+        resampled = decode_pixels(bytes(out[mid]["content"]))
+        assert (resampled[0, 0] == wide[0, 0]).all()
+    # truly codec-bound format (gif): plan computed, payload passes through
+    gif_row = out["gif_wide"]
+    assert gif_row["resized"] and not gif_row["reencoded"]
     # narrow image untouched
     assert not out["ppm_ok"]["resized"] and not out["ppm_ok"]["reencoded"]
+
+
+def test_png_pixel_decode_all_filters():
+    """The vendored PNG pixel path must invert all five scanline filter
+    types. The test FORWARD-filters a known image with an independent
+    per-spec implementation (PNG spec §9 'Filtering'), wraps it in a
+    valid PNG, and requires decode_pixels to reproduce the original —
+    plus gray/RGBA handling and encode_png round-trip."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from crawleria_spark.multimodal.codecs import (
+        CodecError,
+        decode_pixels,
+        encode_png,
+        parse_image_header,
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png_from_raw(w, h, color, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    def forward_filter(img, ftype, ch):
+        # independent reference filtering, straight from the spec
+        h, w = img.shape[:2]
+        flat = img.reshape(h, w * ch).astype(np.int32)
+        out = bytearray()
+        for y in range(h):
+            out.append(ftype)
+            for x in range(w * ch):
+                cur = flat[y, x]
+                a = flat[y, x - ch] if x >= ch else 0
+                b = flat[y - 1, x] if y >= 1 else 0
+                c = flat[y - 1, x - ch] if (x >= ch and y >= 1) else 0
+                if ftype == 0:
+                    v = cur
+                elif ftype == 1:
+                    v = cur - a
+                elif ftype == 2:
+                    v = cur - b
+                elif ftype == 3:
+                    v = cur - ((a + b) >> 1)
+                else:  # Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = cur - pred
+                out.append(v % 256)
+        return bytes(out)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    for ftype in range(5):
+        raw = forward_filter(img, ftype, 3)
+        got = decode_pixels(png_from_raw(5, 7, 2, raw))
+        assert (got == img).all(), f"filter {ftype}"
+
+    # RGBA: alpha dropped; grayscale: expanded to RGB
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    got = decode_pixels(png_from_raw(6, 4, 6, forward_filter(rgba, 4, 4)))
+    assert (got == rgba[:, :, :3]).all()
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    got = decode_pixels(png_from_raw(6, 4, 0, forward_filter(gray, 1, 1)))
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+
+    # encode_png round-trip + header agreement
+    enc = encode_png(img)
+    assert parse_image_header(enc) == {"format": "png", "width": 5, "height": 7}
+    assert (decode_pixels(enc) == img).all()
+
+    # corrupt bodies raise CodecError, never return garbage
+    with pytest.raises(CodecError):
+        decode_pixels(png_from_raw(5, 7, 2, b"\x00" * 3))  # size mismatch
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"not zlib") + chunk(b"IEND", b"")
+    )
+    with pytest.raises(CodecError):
+        decode_pixels(bad_idat)
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 7, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(CodecError):
+        decode_pixels(interlaced)
