@@ -47,6 +47,26 @@ def stream_crawl_fetch_log(spark: SparkSession, catalog_root: str) -> DataFrame:
     )
 
 
+def stream_crawl_documents(spark: SparkSession, catalog_root: str) -> DataFrame:
+    """Stream the CrawlEngine's span documents as rounds commit — the
+    incremental-ingest hook for downstream training-data consumers
+    (dedup/quality/packing stages pull each round's new documents
+    without re-reading history).
+
+    Same publication contract as ``stream_crawl_fetch_log``: tails
+    `<root>/published/documents/*`, symlinked strictly AFTER the
+    manifest rename, so a partially-committed round is never visible
+    and each committed round's delta directory is discovered exactly
+    once (file-source tracking)."""
+    from crawleria_spark.plans.engine import DOCUMENTS_SCHEMA
+
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{catalog_root}/published/documents/*")
+    )
+
+
 def hourly_metrics_stream(
     events: DataFrame,
     ts_col: str = "ts",
