@@ -828,9 +828,12 @@ def _ann_index(spark, sf_dir):
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.realpath(src)}|{st.st_mtime_ns}|v1|c10_p6_t8_s42".encode()
+        f"{os.path.realpath(src)}|{st.st_mtime_ns}|v2|c10_p6_t8_s42".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "crawleria_ann_index", key)
+    cached = _ANN_INDEX_MEMO.get(root)
+    if cached is not None and cached.spark is spark:
+        return cached
     if not AnnIndex.exists(root):
         emb, _ = _clustered_embeddings(spark, sf_dir)
         tmp = f"{root}.build-{uuid.uuid4().hex[:8]}"
@@ -841,7 +844,14 @@ def _ann_index(spark, sf_dir):
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
-    return AnnIndex(spark, root)
+    idx = AnnIndex(spark, root)
+    # the handle caches the bucket-directory listing (immutable index);
+    # reuse it across queries in this session
+    _ANN_INDEX_MEMO[root] = idx
+    return idx
+
+
+_ANN_INDEX_MEMO: dict = {}
 
 
 def q_ann_lsh_topk(spark, sf_dir):

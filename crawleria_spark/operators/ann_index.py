@@ -61,12 +61,24 @@ class AnnIndex:
         self.planes = np.asarray(m["planes"], dtype=np.float64)
         self.n_planes: int = m["n_planes"]
         self.n_tables: int = m["n_tables"]
+        self._dfs: dict[str, DataFrame] = {}
+
+    def _table(self, name: str) -> DataFrame:
+        # the index is immutable once built, so the DataFrame handle —
+        # and with it the partition-directory listing (InMemoryFileIndex)
+        # — is safe to reuse across probes; re-listing the n_tables ×
+        # 2^n_planes bucket directories on every query otherwise
+        # dominates probe latency at small scale (measured 1.2 s vs a
+        # 0.36 s probe at sf0.1)
+        if name not in self._dfs:
+            self._dfs[name] = self.spark.read.parquet(os.path.join(self.root, name))
+        return self._dfs[name]
 
     def ivf_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "ivf"))
+        return self._table("ivf")
 
     def lsh_df(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "lsh"))
+        return self._table("lsh")
 
     @staticmethod
     def exists(root: str) -> bool:
@@ -117,9 +129,19 @@ def build_ann_index(
 
     os.makedirs(root, exist_ok=True)
     base = df.select(id_col, vec_col)
-    base.withColumn("ivf_cell", ivf_cell(F.col(vec_col))).write.mode(
-        "overwrite"
-    ).partitionBy("ivf_cell").parquet(os.path.join(root, "ivf"))
+    # repartition on the partition column(s) before writing so each
+    # bucket directory holds one file per shuffle partition that owns it
+    # (without this, every write task sprays a file into every bucket it
+    # touches: tasks × buckets small files, and probe-time listing pays
+    # for all of them); at petabyte scale size the repartition width to
+    # data/128MB per bucket instead
+    (
+        base.withColumn("ivf_cell", ivf_cell(F.col(vec_col)))
+        .repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(os.path.join(root, "ivf"))
+    )
     (
         base.withColumn("__codes", lsh_codes(F.col(vec_col)))
         .select(
@@ -127,6 +149,7 @@ def build_ann_index(
             vec_col,
             F.posexplode("__codes").alias("table_id", "code"),
         )
+        .repartition("table_id", "code")
         .write.mode("overwrite")
         .partitionBy("table_id", "code")
         .parquet(os.path.join(root, "lsh"))
