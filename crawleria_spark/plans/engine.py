@@ -747,7 +747,16 @@ class CrawlEngine:
         #    fetch skew), and the imbalance then propagates into every
         #    commit write of fetched-derived tables (measured on the 2M
         #    30%-hub battery: commit 19.4s vs 7.1s, fetch 70s vs 58s).
-        #    One explicit shuffle here is strictly cheaper.
+        #    One explicit shuffle here is strictly cheaper. Fusing this
+        #    shuffle INTO the rank exchange (ranking on (host, pid%K) —
+        #    the decomposition generalizes) was analyzed and rejected in
+        #    r5: a host's kept rows are its cap-smallest priorities, so
+        #    under a binding cap they collapse into ONE pid-salt class
+        #    (measured: 100% of a 30%-hub's kept rows in one class) —
+        #    only the slot-derived salt is uniform in every cap regime,
+        #    and slots exist only after the rank. This shuffle carries
+        #    kept rows <= the round budget (the small side, ~0.2 s at
+        #    2M); see BENCH/BASELINE.md "Round-5: rank-shuffle floor".
         to_fetch = to_fetch.withColumn(
             "salt", F.pmod(F.col("politeness_slot"), F.lit(cfg.skew_salt_buckets)).cast("int")
         )
