@@ -762,6 +762,24 @@ def q_minhash_dup_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dup_groups(spark, sf_dir):
+    """Near-dup CLUSTERS, not just pairs: minhash-LSH pairs fed through
+    Pregel-style hash-min connected components (operators/dedup.py
+    `connected_components`) — (doc_id, group_id = min doc_id of the
+    component), one row per doc that has a near-duplicate. The DuckDB
+    oracle recomputes exact-Jaccard pairs and takes the true transitive
+    closure with a RECURSIVE CTE, so the fixed-iteration label
+    propagation is hash-checked against exact reachability."""
+    from crawleria_spark.operators.dedup import connected_components, minhash_lsh_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = minhash_lsh_dedup_pairs(
+        docs, n_hashes=64, bands=16, shingle_k=2, jaccard_threshold=0.4,
+        max_bucket_size=10**9,
+    )
+    return connected_components(pairs, iters=8).withColumnRenamed("id", "doc_id")
+
+
 def q_simhash_dup_pairs(spark, sf_dir):
     """SimHash banded near-dup (Hamming <= 12 on 64-bit signatures).
     Oracle-checked (r3): the token hash is splitmix64(codepoint
@@ -1023,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_hourly": q_events_hourly,
         "q_metrics_rollup": q_metrics_rollup,
         "q_minhash_dup_pairs": q_minhash_dup_pairs,
+        "q_dup_groups": q_dup_groups,
         "q_simhash_dup_pairs": q_simhash_dup_pairs,
         "q_winnow_dup_pairs": q_winnow_dup_pairs,
         "q_ann_lsh_topk": q_ann_lsh_topk,
@@ -1427,6 +1446,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.4
+        """,
+        "q_dup_groups": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents WHERE doc_id < 200
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) = 0 THEN []
+                          WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(ws)),
+                                                            i -> ws[i] || ' ' || ws[i+1]))
+                     END AS shingles
+              FROM toks
+            ), pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(a.shingles) + len(b.shingles) = 0 THEN 1.0
+                          ELSE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                               (len(a.shingles) + len(b.shingles)
+                                - len(list_intersect(a.shingles, b.shingles)))
+                     END) >= 0.4
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+              SELECT a, a FROM e
+              UNION
+              SELECT reach.id, e.b FROM reach JOIN e ON e.a = reach.r
+            )
+            SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
         """,
         "q_ann_lsh_topk": _ANN_BRUTE_SQL,
         "q_ann_ivf_topk": _ANN_BRUTE_SQL,

@@ -49,6 +49,7 @@ HEADLINE = [
     "q_cosine_topk",
     "q_embedding_dup_pairs",
     "q_minhash_dup_pairs",
+    "q_dup_groups",
     "q_simhash_dup_pairs",
     "q_ann_lsh_topk",
 ]

@@ -413,3 +413,40 @@ def test_ann_index_probes_equal_scan_probes(spark, vectors, tmp_path):
     one_bucket = idx2.lsh_df().filter((F.col("table_id") == 0) & (F.col("code") == 0))
     probed_lsh = {r[0] for r in one_bucket.select(F.input_file_name()).distinct().collect()}
     assert len(probed_lsh) < len(lsh_all)
+
+
+def test_connected_components_exact(spark):
+    """hash-min label propagation equals true components on a graph
+    with a chain (diameter stress), a triangle, and a singleton edge;
+    and near_dup_groups clusters transitively (a~b, b~c => one group)."""
+    from crawleria_spark.operators.dedup import connected_components, near_dup_groups
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # chain, diameter 5
+             (10, 11), (11, 12), (10, 12),             # triangle
+             (20, 21)]                                 # pair
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["group_id"] for r in connected_components(pairs, iters=8).collect()}
+    assert got == {**{i: 1 for i in range(1, 7)},
+                   **{i: 10 for i in (10, 11, 12)}, 20: 20, 21: 20}
+    # under-iterated propagation must NOT silently pass the chain
+    under = {r["id"]: r["group_id"] for r in connected_components(pairs, iters=1).collect()}
+    assert under != got
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon eta"),    # near 0
+            (2, "alpha beta gamma delta theta eta"),      # near 1, farther from 0
+            (50, "completely different text about spark"),
+        ],
+        "doc_id long, text string",
+    )
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in near_dup_groups(
+            docs, n_hashes=64, bands=32, shingle_k=2, jaccard_threshold=0.3,
+            max_bucket_size=10**9,
+        ).collect()
+    }
+    assert groups.get(0) == 0 and groups.get(1) == 0 and groups.get(2) == 0
+    assert 50 not in groups  # no dup partner -> not in any group
