@@ -148,3 +148,30 @@ def test_ann_probes_prune_partitions(spark, entry):
         .select(F.input_file_name()).distinct().count()
     )
     assert 0 < probed < all_files
+
+
+def test_iterative_cc_plan_stays_bounded(spark, entry):
+    """r6 gate for the r5 scale-killer: connected_components references
+    its previous iteration twice per loop, so WITHOUT per-iteration
+    lineage truncation the lazy plan doubles per iteration (~2^iters
+    embeddings of the upstream pair pipeline — q_dup_groups measured
+    295 s on 200 docs; the truncated version runs in ~2 s). Gate: the
+    final plan of the full q_dup_groups query must be truncated-small
+    (a LogicalRDD scan, no parquet rescan) and the per-iteration cost
+    must not have re-inflated."""
+    df = entry.queries()["q_dup_groups"](spark, SF_DIR)
+    plan = _plan(df)
+    # truncated lineage: final plan reads the checkpointed RDD, not the
+    # minhash pipeline (no parquet scan, no Python eval in the tail)
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+    assert len(plan) < 20_000, f"plan blew up to {len(plan)} chars"
+
+    # the operator itself, on a plain in-memory pairs df: analyzed plan
+    # size must grow at most linearly in iters, never exponentially
+    from crawleria_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    p2 = len(_plan(connected_components(pairs, iters=2)))
+    p8 = len(_plan(connected_components(pairs, iters=8)))
+    assert p8 < p2 * 8
