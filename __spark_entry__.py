@@ -51,9 +51,55 @@ def _ensure_shipped(spark: SparkSession) -> None:
     spark._crawleria_shipped = True
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Below this size an input is at most ONE scan split (the 128 MB
+# maxPartitionBytes default), so every per-row map chain above it —
+# regex redaction, quality scoring, signatures — runs on a single core
+# no matter how many the cluster has. The driver's tables are exactly
+# this shape: one parquet file, ONE row group (unsplittable), e.g.
+# documents sf1.0 = 5.6 MB / 1 row group. Guide remedy for unsplittable
+# input skew: repartition immediately after the read. The rescue is
+# scale-adaptive, not local tuning: the threshold is bytes-based, so at
+# production scale (many files >> 64 MB) it never fires and the scan's
+# natural parallelism is untouched; when it does fire the shuffle it
+# adds moves < 64 MB once. Filters and column pruning push through
+# Repartition, so scan pushdown gates are unaffected.
+#
+# OPT-IN per query (``parallelize=True``), because whether the exchange
+# pays depends on the CONSUMER, not the table: per-row map chains above
+# it parallelize 3-5x (measured, sf1.0: q_pii_redaction 4.94 -> 1.22 s,
+# q_quality_scores 2.85 -> 0.62 s), while aggregate-only consumers LOSE
+# map-side partial aggregation to the exchange (measured, sf0.1:
+# q_pricing_summary 0.56 -> 1.05 s with a blanket rescue) — guide:
+# "aggregate before you shuffle". Join/agg/filter-pushdown queries
+# therefore keep the bare scan.
+_SMALL_INPUT_BYTES = int(os.environ.get("SPARK_GRAFT_SMALL_INPUT_MB", "64")) * 2**20
+
+
+def _input_bytes(path: str) -> int | None:
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+    except OSError:
+        pass
+    return None
+
+
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
     _ensure_shipped(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if parallelize:
+        size = _input_bytes(path)
+        cores = spark.sparkContext.defaultParallelism
+        if size is not None and 0 < size < _SMALL_INPUT_BYTES and cores > 1:
+            df = df.repartition(cores)
+    return df
 
 
 _SEG_URL = (
@@ -387,7 +433,7 @@ def q_url_canonical_doc_id(spark, sf_dir):
     the scalar urllib twin is pinned in tests/test_urls.py."""
     from crawleria_spark.functions.urls import doc_id_expr
 
-    docs = _t(spark, sf_dir, "documents").withColumn("url", F.expr(_SEG_URL))
+    docs = _t(spark, sf_dir, "documents", parallelize=True).withColumn("url", F.expr(_SEG_URL))
     return docs.select(
         F.col("doc_id").alias("in_id"), doc_id_expr("url").alias("url_doc_id")
     )
@@ -395,7 +441,7 @@ def q_url_canonical_doc_id(spark, sf_dir):
 
 def q_host_extract(spark, sf_dir):
     """P1: host extraction (JVM regexp — pushdown-friendly)."""
-    docs = _t(spark, sf_dir, "documents").withColumn("url", F.expr(_SEG_URL))
+    docs = _t(spark, sf_dir, "documents", parallelize=True).withColumn("url", F.expr(_SEG_URL))
     return docs.select(
         F.col("doc_id").alias("in_id"),
         F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
@@ -417,7 +463,7 @@ def q_exact_dup_groups(spark, sf_dir):
 def q_word_jaccard_pairs(spark, sf_dir):
     """n-gram (word-level) Jaccard on adjacent-doc pairs — all JVM array
     ops (array_distinct/intersect/union), no Python in the hot path."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", parallelize=True).select("doc_id", "text")
     a = docs.filter(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("id_a"),
         F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+")).alias("wa"),
@@ -437,7 +483,7 @@ def q_token_stats(spark, sf_dir):
     """Text analysis: per-lang token/char statistics."""
     from crawleria_spark.functions.text import token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=True)
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg(token_count("text")), 6).alias("avg_tokens"),
@@ -449,7 +495,7 @@ def q_quality_scores(spark, sf_dir):
     """Quality scoring: composite prose heuristic per doc."""
     from crawleria_spark.functions.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id", F.round(quality_score("text"), 4).alias("quality")
     )
@@ -459,7 +505,7 @@ def q_fingerprints(spark, sf_dir):
     """Document fingerprinting: md5 over normalized text."""
     from crawleria_spark.functions.text import fingerprint_md5
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=True)
     return docs.select("doc_id", fingerprint_md5("text").alias("fingerprint"))
 
 
@@ -467,7 +513,7 @@ def q_lang_id(spark, sf_dir):
     """Language ID: stopword-marker heuristic (vectorized pandas UDF)."""
     from crawleria_spark.functions.text import lang_id_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=True)
     return docs.select("doc_id", lang_id_udf("text").alias("pred_lang"))
 
 
@@ -481,7 +527,7 @@ def q_decontaminate(spark, sf_dir):
     never shuffles (operators/dedup.py:decontaminate)."""
     from crawleria_spark.operators.dedup import decontaminate
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=True)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     _, contaminated = decontaminate(corpus, bench, n=4)
@@ -496,7 +542,7 @@ def q_repetition_filter(spark, sf_dir):
     exprs, one codegen span (functions/text.py)."""
     from crawleria_spark.functions.text import repetition_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=True)
     st = repetition_stats("text", 3)
     return docs.select(
         "doc_id",
@@ -521,7 +567,7 @@ def q_pii_redaction(spark, sf_dir):
     the redacted text."""
     from crawleria_spark.functions.text import pii_count, pii_counts, pii_redact
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", parallelize=True)
     d4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
     injected = F.concat(
         F.col("text"),
@@ -576,7 +622,7 @@ def q_pack_sequences(spark, sf_dir):
     from crawleria_spark.operators.packing import pack_sequences
     from crawleria_spark.sources.stats import key_bound
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", parallelize=True).select(
         "doc_id", token_count("text").cast("long").alias("n_tok")
     )
     bound = key_bound(os.path.join(sf_dir, "documents.parquet"), "doc_id")
@@ -590,7 +636,7 @@ def q_cosine_topk(spark, sf_dir):
     """ANN baseline: exact brute-force cosine top-k vs query vec_id=0."""
     from crawleria_spark.operators.ann import cosine_topk_brute
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", parallelize=True)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     top = cosine_topk_brute(emb, qv, k=10)
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
@@ -600,7 +646,7 @@ def q_embedding_dup_pairs(spark, sf_dir):
     """Embedding near-dup pairs (cosine >= 0.35), exact brute verify."""
     from crawleria_spark.operators.dedup import embedding_dup_pairs_brute
 
-    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    emb = _t(spark, sf_dir, "embeddings", parallelize=True).filter(F.col("vec_id") < 200)
     pairs = embedding_dup_pairs_brute(emb, threshold=0.35)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 

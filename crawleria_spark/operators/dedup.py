@@ -33,6 +33,8 @@ for a hard O(B) bound.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -478,22 +480,33 @@ def embedding_dup_pairs_lsh(
     full vectors are re-joined AFTER dedup of the pair list, so the
     bucket shuffle moves 16 bytes/row instead of the whole embedding.
     Oversized bucket guard as in the minhash path.
+
+    r6: the hyperplanes are generated executor-side, once per task,
+    from (seed, dim) — dim inferred from the first Arrow batch when not
+    passed (identical planes everywhere: same seed, same generator).
+    The previous driver-side ``df.select(vec_col).first()`` was an
+    eager Spark action during plan CONSTRUCTION (the defect class the
+    r5 footer-stats work removed from q_pack_sequences); building the
+    plan now launches no job and ships no broadcast.
     """
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
-    bc = df.sparkSession.sparkContext.broadcast(planes)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bucket_ids(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (n, dim)
-        p = bc.value
-        signs = np.einsum("nd,tpd->ntp", mat, p) > 0  # (n, tables, planes)
+    def bucket_ids(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        planes = None
         weights = 1 << np.arange(n_planes, dtype=np.int64)
-        codes = (signs * weights[None, None, :]).sum(axis=2)  # (n, tables)
-        table_base = (np.arange(p.shape[0], dtype=np.int64) << n_planes)[None, :]
-        return pd.Series(list(codes + table_base))
+        for vecs in it:
+            mat = np.stack(vecs.to_numpy())  # (n, dim)
+            if planes is None:  # once per task (iterator form)
+                d = dim if dim is not None else mat.shape[1]
+                planes = np.random.default_rng(seed).standard_normal(
+                    (n_tables, n_planes, d)
+                ).astype(np.float32)
+                table_base = (
+                    np.arange(n_tables, dtype=np.int64) << n_planes
+                )[None, :]
+            signs = np.einsum("nd,tpd->ntp", mat, planes) > 0
+            codes = (signs * weights[None, None, :]).sum(axis=2)  # (n, tables)
+            yield pd.Series(list(codes + table_base))
 
     bucketed = df.select(
         F.col(id_col), F.explode(bucket_ids(F.col(vec_col))).alias("bucket")
