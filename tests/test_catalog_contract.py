@@ -195,3 +195,26 @@ def test_engine_crawl_identical_across_backends(spark, tmp_path):
     base = states["SnapshotCatalog"]
     for name, st in states.items():
         assert st == base, name
+
+
+def test_iceberg_pinned_snapshot_set_jarless():
+    """gc()'s reclaim safety set, computed without the jar: every
+    surviving manifest's read pin AND per-append segment ids must be in
+    the never-expire set — including the crashed-commit / replace+append
+    shapes the r6 ADVICE flagged against retain_last-based expiry."""
+    manifests = [
+        {  # older surviving version: table a at snapshot 10 (appends 9,10)
+            "tables": {"a": ["9", "10"], "b": ["100"]},
+            "pins": {"a": 10, "b": 100},
+        },
+        {  # newer version: a replaced (new pin 20), b appended (101)
+            "tables": {"a": ["20"], "b": ["100", "101"]},
+            "pins": {"a": 20, "b": 101},
+        },
+    ]
+    pinned = IcebergCatalog._pinned_snapshot_ids(manifests)
+    assert pinned == {"a": {9, 10, 20}, "b": {100, 101}}
+    # a retain_last=2 policy on table a would keep only {10, 20} and
+    # expire 9 — and with an extra orphan snapshot it would drop 10 too;
+    # the pinned set is what guarantees read_as_of(v_old) keeps working
+    assert 9 in pinned["a"] and 10 in pinned["a"]
