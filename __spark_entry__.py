@@ -89,16 +89,27 @@ def _input_bytes(path: str) -> int | None:
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    parallelize: bool = False,
+    keys: list | None = None,
 ) -> DataFrame:
+    """``keys``: repartition by these expressions instead of round-robin
+    (same size gate). For an aggregate consumer grouping on the same
+    expressions, the rescue exchange then doubles as the aggregation's
+    exchange, so the agg work parallelizes WITHOUT giving up its shape —
+    round-robin + groupBy would pay a second exchange (measured,
+    q_metrics_rollup sf1.0 interleaved: plain 1.18 s, round-robin
+    rescue 1.35 s, keyed rescue 0.86 s)."""
     _ensure_shipped(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if parallelize:
+    if parallelize or keys:
         size = _input_bytes(path)
         cores = spark.sparkContext.defaultParallelism
         if size is not None and 0 < size < _SMALL_INPUT_BYTES and cores > 1:
-            df = df.repartition(cores)
+            df = df.repartition(cores, *keys) if keys else df.repartition(cores)
     return df
 
 
@@ -703,10 +714,17 @@ def q_events_hourly(spark, sf_dir):
 
 
 def q_metrics_rollup(spark, sf_dir):
-    """A3 counts-as-metrics: per-day event counts + error rate."""
-    ev = _t(spark, sf_dir, "events")
+    """A3 counts-as-metrics: per-day event counts + error rate.
+
+    r6: keyed parallelism rescue — the single-split events scan made
+    the countDistinct's expand + partial aggregation run one-core;
+    repartitioning by the SAME day expression the groupBy uses lets the
+    rescue exchange serve as the aggregation exchange (guide: two
+    operations keyed the same way share one exchange)."""
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    ev = _t(spark, sf_dir, "events", keys=[day])
     return (
-        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        ev.groupBy(day.alias("day"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_errors"),
