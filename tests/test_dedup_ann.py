@@ -450,3 +450,22 @@ def test_connected_components_exact(spark):
     }
     assert groups.get(0) == 0 and groups.get(1) == 0 and groups.get(2) == 0
     assert 50 not in groups  # no dup partner -> not in any group
+
+
+def test_connected_components_early_stop_identical(spark):
+    """r6: the truncated path stops when sum(label) stops changing —
+    hash-min labels only decrease, so an unchanged sum is the fixed
+    point and the skipped iterations are provably no-ops. The result
+    must be IDENTICAL to the never-early-stopping lazy path on the same
+    pairs (chain + triangle + pair mix), including an empty edge set."""
+    from crawleria_spark.operators.dedup import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {r["id"]: r["group_id"] for r in connected_components(pairs, iters=8).collect()}
+    full = {r["id"]: r["group_id"]
+            for r in connected_components(pairs, iters=8, truncate_lineage=False).collect()}
+    assert fast == full
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty, iters=8).count() == 0
