@@ -61,8 +61,14 @@ def _ensure_shipped(spark: SparkSession) -> None:
 # scale-adaptive, not local tuning: the threshold is bytes-based, so at
 # production scale (many files >> 64 MB) it never fires and the scan's
 # natural parallelism is untouched; when it does fire the shuffle it
-# adds moves < 64 MB once. Filters and column pruning push through
-# Repartition, so scan pushdown gates are unaffected.
+# adds moves < threshold bytes once. Filters and column pruning push
+# through Repartition, so scan pushdown gates are unaffected. The
+# default threshold (256 MB) is sized so a driver scale-factor
+# escalation (r5 went sf0.1 -> sf1.0; documents grow ~5.6 MB per sf)
+# keeps the rescue firing up to ~sf45, while remaining far below any
+# production table size: shuffling <= 256 MB of text once across the
+# cluster is strictly cheaper than running a regex/signature chain
+# over it on one core (the break-even is minutes vs seconds).
 #
 # OPT-IN per query (``parallelize=True``), because whether the exchange
 # pays depends on the CONSUMER, not the table: per-row map chains above
@@ -72,7 +78,7 @@ def _ensure_shipped(spark: SparkSession) -> None:
 # q_pricing_summary 0.56 -> 1.05 s with a blanket rescue) — guide:
 # "aggregate before you shuffle". Join/agg/filter-pushdown queries
 # therefore keep the bare scan.
-_SMALL_INPUT_BYTES = int(os.environ.get("SPARK_GRAFT_SMALL_INPUT_MB", "64")) * 2**20
+_SMALL_INPUT_BYTES = int(os.environ.get("SPARK_GRAFT_SMALL_INPUT_MB", "256")) * 2**20
 
 
 def _input_bytes(path: str) -> int | None:
